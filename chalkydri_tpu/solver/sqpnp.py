@@ -1,0 +1,299 @@
+"""Batched SQPnP (Sequential Quadratic Programming PnP) core.
+
+TPU-native re-design of the reference's from-scratch solver
+(``/root/reference/crates/chalkydri_sqpnp/src/lib.rs``). Semantics ported
+exactly; the *shape* of the computation is redesigned for XLA:
+
+- every stage is fixed-shape and mask-driven (padded point sets), so a batch of
+  frames vmaps into one fused program;
+- the 6 rotation candidates (3 smallest eigenvectors x +-1,
+  ``sqpnp/src/lib.rs:396-428``) are a vmapped axis, not a loop;
+- the <=15 Newton iterations on the 15x15 KKT system
+  (``sqpnp/src/lib.rs:97-115,463-479``) run as a ``lax.fori_loop`` with masked
+  convergence (converged candidates keep their value; identical result to the
+  reference's early break because converged deltas are below tol);
+- candidate selection (cheirality + min penalized energy,
+  ``sqpnp/src/lib.rs:267-294``) is a masked argmin.
+
+Key reference constants:
+  max_iter=15, tol^2=1e-16       sqpnp/src/lib.rs:201-212
+  6 candidates                   sqpnp/src/lib.rs:403-406
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from chalkydri_tpu.utils.precision import highest_precision
+
+MAX_ITER = 15
+TOL_SQ = 1e-16
+NUM_CANDIDATES = 6
+
+
+class SqPnPResult(NamedTuple):
+    rotation: jax.Array  # [..., 3, 3] world->cam
+    translation: jax.Array  # [..., 3] world->cam
+    energy: jax.Array  # [...] pure geometric energy r^T omega r
+    valid: jax.Array  # [...] bool: a cheirality-passing candidate existed
+
+
+def build_linear_system(points_3d: jax.Array, points_2d: jax.Array, mask: jax.Array):
+    """Accumulate the SQPnP least-squares system over masked points.
+
+    Port of ``build_linear_system`` (``sqpnp/src/lib.rs:124-180``): for each
+    (3D point p, image ray v) pair, with the ray projector
+    P = I - v v^T / |v|^2, accumulate
+
+        Q_tt += P
+        Q_rt[3i:3i+3] += p_i * P        (i in x,y,z)
+        Q_rr[3i:3i+3, 3j:3j+3] += p_i p_j P
+
+    then omega = Q_rr - Q_rt Q_tt^{-1} Q_rt^T.
+
+    Args:
+      points_3d: [N, 3] centered world points.
+      points_2d: [N, 3] camera rays (any scale; P is scale-invariant).
+      mask: [N] bool; padded entries contribute zero.
+
+    Returns:
+      (omega [9,9], q_tt_inv [3,3], q_rt [9,3])
+    """
+    dtype = points_3d.dtype
+    m = mask.astype(dtype)[:, None, None]  # [N,1,1]
+
+    sq_norm = jnp.sum(points_2d * points_2d, axis=-1)  # [N]
+    inv_norm = jnp.where(sq_norm > 0, 1.0 / jnp.maximum(sq_norm, 1e-30), 0.0)
+    v_vt = points_2d[:, :, None] * points_2d[:, None, :]  # [N,3,3]
+    proj = jnp.eye(3, dtype=dtype)[None] - v_vt * inv_norm[:, None, None]
+    proj = proj * m  # masked projector
+
+    q_tt = jnp.sum(proj, axis=0)  # [3,3]
+
+    # p_outer[n, i, j] = p_i * p_j ; q_rr[3i+a, 3j+b] = sum_n p_i p_j P[a,b]
+    p = points_3d  # [N,3]
+    # q_rt: block rows scaled by p_i -> [3(block i), 3] stacked to [9,3]
+    q_rt = jnp.einsum("ni,nab->iab", p, proj).reshape(9, 3)
+    # q_rr: [i,j] block = sum_n p_i p_j P  -> [3,3,3,3] -> [9,9]
+    q_rr = jnp.einsum("ni,nj,nab->iajb", p, p, proj).reshape(9, 9)
+
+    q_tt_inv = robust_inv3(q_tt)
+    omega = q_rr - q_rt @ q_tt_inv @ q_rt.T
+    return omega, q_tt_inv, q_rt
+
+
+def robust_inv3(m: jax.Array) -> jax.Array:
+    """3x3 inverse; returns zeros when singular (the reference uses
+    ``try_inverse().unwrap_or_default()``, ``sqpnp/src/lib.rs:171``)."""
+    det = jnp.linalg.det(m)
+    ok = jnp.abs(det) > 1e-30
+    safe = jnp.where(ok, det, 1.0)
+    adj = _adjugate3(m)
+    inv = adj / safe
+    return jnp.where(ok, inv, jnp.zeros_like(m))
+
+
+def _adjugate3(m: jax.Array) -> jax.Array:
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    cof = jnp.stack(
+        [
+            e * i - f * h, c * h - b * i, b * f - c * e,
+            f * g - d * i, a * i - c * g, c * d - a * f,
+            d * h - e * g, b * g - a * h, a * e - b * d,
+        ],
+        axis=-1,
+    )
+    return cof.reshape(*m.shape[:-2], 3, 3)
+
+
+def nearest_so3(r_vec: jax.Array) -> jax.Array:
+    """Project a 9-vector (column-major 3x3) onto SO(3) via SVD.
+
+    Port of ``nearest_so3`` (``sqpnp/src/lib.rs:41-59``): U V^T with the last
+    column of U negated when det < 0.
+    """
+    m = r_vec.reshape(3, 3).T  # column-major unpack
+    u, _, vt = jnp.linalg.svd(m, full_matrices=True)
+    rot = u @ vt
+    det = jnp.linalg.det(rot)
+    u_fixed = u.at[:, 2].multiply(jnp.where(det < 0, -1.0, 1.0))
+    rot = u_fixed @ vt
+    return rot.T.reshape(9)  # column-major pack
+
+
+def constraints_and_jacobian(r: jax.Array):
+    """SO(3) orthonormality constraints h(r) [6] and Jacobian [6, 9].
+
+    Port of ``constraints_and_jacobian`` (``sqpnp/src/lib.rs:61-95``); r is
+    column-major (c1 = r[0:3], c2 = r[3:6], c3 = r[6:9]).
+    """
+    c1, c2, c3 = r[0:3], r[3:6], r[6:9]
+    h = jnp.stack(
+        [
+            jnp.dot(c1, c1) - 1.0,
+            jnp.dot(c2, c2) - 1.0,
+            jnp.dot(c3, c3) - 1.0,
+            jnp.dot(c1, c2),
+            jnp.dot(c1, c3),
+            jnp.dot(c2, c3),
+        ]
+    )
+    z = jnp.zeros(3, dtype=r.dtype)
+    jac = jnp.stack(
+        [
+            jnp.concatenate([2.0 * c1, z, z]),
+            jnp.concatenate([z, 2.0 * c2, z]),
+            jnp.concatenate([z, z, 2.0 * c3]),
+            jnp.concatenate([c2, c1, z]),
+            jnp.concatenate([c3, z, c1]),
+            jnp.concatenate([z, c3, c2]),
+        ]
+    )
+    return h, jac
+
+
+def newton_refine(r0: jax.Array, omega: jax.Array, max_iter: int = MAX_ITER,
+                  tol_sq: float = TOL_SQ):
+    """Refine a rotation 9-vector with <= max_iter SQP Newton steps.
+
+    Port of ``optimization`` + ``solve_newton``
+    (``sqpnp/src/lib.rs:97-115,463-479``): solve the 15x15 KKT system
+
+        [omega  J^T] [dr]   [-omega r]
+        [J       0 ] [mu] = [-h      ]
+
+    Masked convergence replaces the early break; a non-finite solve freezes the
+    iterate (the reference breaks out of the loop).
+    """
+    dtype = r0.dtype
+
+    def body(_, carry):
+        r, done = carry
+        h, jac = constraints_and_jacobian(r)
+        lhs = jnp.zeros((15, 15), dtype=dtype)
+        lhs = lhs.at[0:9, 0:9].set(omega)
+        lhs = lhs.at[0:9, 9:15].set(jac.T)
+        lhs = lhs.at[9:15, 0:9].set(jac)
+        rhs = jnp.concatenate([-(omega @ r), -h])
+        sol = jnp.linalg.solve(lhs, rhs)
+        delta = sol[0:9]
+        finite = jnp.all(jnp.isfinite(delta))
+        step_ok = finite & ~done
+        r_new = jnp.where(step_ok, r + delta, r)
+        converged = jnp.dot(delta, delta) < tol_sq
+        done_new = done | ~finite | (step_ok & converged)
+        return r_new, done_new
+
+    r, _ = jax.lax.fori_loop(0, max_iter, body, (r0, jnp.asarray(False)))
+    energy = jnp.dot(r, omega @ r)
+    return r, energy
+
+
+def solve_candidates(omega: jax.Array, fwd_in_cam: jax.Array, gyro_cos, gyro_sin,
+                     sign_change_error, max_iter: int = MAX_ITER):
+    """Generate and refine the 6 rotation candidates with gyro penalty.
+
+    Port of ``solve_rotation_candidates`` (``sqpnp/src/lib.rs:396-428``):
+    the 3 smallest eigenvectors of omega, x {-1, +1}, projected to SO(3),
+    Newton-refined, plus the gyro heading-error energy penalty
+    ``sign_change_error * max(0, 1 - cos angle(robot_fwd, gyro))``.
+
+    Returns (r_vecs [6, 9], penalized_energy [6], pure_energy [6]).
+    """
+    eigvals, eigvecs = jnp.linalg.eigh(omega)  # ascending
+    base = eigvecs[:, 0:3].T  # [3, 9]
+    signs = jnp.array([-1.0, 1.0], dtype=omega.dtype)
+    guesses = (base[:, None, :] * signs[None, :, None]).reshape(6, 9)
+
+    def refine_one(guess):
+        r_start = nearest_so3(guess)
+        r, energy = newton_refine(r_start, omega, max_iter=max_iter)
+        # Gyro penalty: robot forward direction in world frame is R^T d
+        # where d = fwd_in_cam (sqpnp/src/lib.rs:410-420; the column-major
+        # index arithmetic there computes exactly (R^T d)_x, (R^T d)_y).
+        d = fwd_in_cam
+        fwd_x = r[0] * d[0] + r[1] * d[1] + r[2] * d[2]
+        fwd_y = r[3] * d[0] + r[4] * d[1] + r[5] * d[2]
+        dot = fwd_x * gyro_cos + fwd_y * gyro_sin
+        angle_error = jnp.maximum(1.0 - dot, 0.0)
+        return r, energy + sign_change_error * angle_error, energy
+
+    return jax.vmap(refine_one)(guesses)
+
+
+@highest_precision
+def solve_sqpnp(points_3d: jax.Array, points_2d: jax.Array, mask: jax.Array,
+                fwd_in_cam: jax.Array, gyro_cos, gyro_sin, sign_change_error,
+                max_iter: int = MAX_ITER) -> SqPnPResult:
+    """Full single-frame SQPnP solve with fixed-capacity masked points.
+
+    Port of ``SqPnP::solve`` (``sqpnp/src/lib.rs:248-295``): centroid shift,
+    omega build, candidate refinement, cheirality filter, best-penalized-energy
+    selection, translation recovery t = t_local - R c.
+
+    Args:
+      points_3d: [N, 3] world-frame corner points (padded).
+      points_2d: [N, 3] camera rays (padded).
+      mask: [N] bool validity.
+      fwd_in_cam: [3] robot-forward direction expressed in the camera frame.
+    """
+    dtype = points_3d.dtype
+
+    # Sanitize BEFORE any arithmetic: padded slots may hold garbage and real
+    # points may be non-finite (diverged unprojects); `NaN * 0 = NaN` would
+    # poison omega through the masked sums below. Non-finite real points are
+    # dropped from the mask, matching the reference's behavior of discarding
+    # corners that fail to unproject (crates/apriltags/src/lib.rs:316-328).
+    finite = jnp.all(jnp.isfinite(points_3d), axis=-1) & jnp.all(
+        jnp.isfinite(points_2d), axis=-1
+    )
+    mask = mask & finite
+    safe_ray = jnp.zeros_like(points_2d).at[..., 2].set(1.0)
+    points_3d = jnp.where(mask[:, None], points_3d, 0.0)
+    points_2d = jnp.where(mask[:, None], points_2d, safe_ray)
+
+    n = jnp.sum(mask)
+    enough = n >= 3  # reference requires >= 3 points (lib.rs:255-257)
+
+    mf = mask.astype(dtype)[:, None]
+    centroid = jnp.sum(points_3d * mf, axis=0) / jnp.maximum(n.astype(dtype), 1.0)
+    centered = (points_3d - centroid) * mf
+
+    omega, q_tt_inv, q_rt = build_linear_system(centered, points_2d, mask)
+
+    r_vecs, penalized, pure = solve_candidates(
+        omega, fwd_in_cam, gyro_cos, gyro_sin, sign_change_error, max_iter=max_iter
+    )
+
+    # Translation per candidate: t_local = -Q_tt^{-1} Q_rt^T r;
+    # t = t_local - R c  (lib.rs:272-273).
+    def trans_of(r):
+        t_local = -(q_tt_inv @ (q_rt.T @ r))
+        r_mat = r.reshape(3, 3).T  # column-major unpack
+        return t_local - r_mat @ centroid, r_mat
+
+    t_all, r_mats = jax.vmap(trans_of)(r_vecs)  # [6,3], [6,3,3]
+
+    # Cheirality: all masked world points must land in front of the camera
+    # (z > 0, lib.rs:275-282).
+    p_cam_z = (
+        jnp.einsum("cij,nj->cni", r_mats, points_3d)[..., 2] + t_all[:, None, 2]
+    )  # [6, N]
+    in_front = jnp.all(p_cam_z > 0.0, axis=1, where=mask[None, :])  # [6]
+
+    score = jnp.where(in_front, penalized, jnp.inf)
+    best = jnp.argmin(score)
+    valid = jnp.isfinite(score[best]) & enough
+
+    return SqPnPResult(
+        rotation=r_mats[best],
+        translation=t_all[best],
+        energy=pure[best],
+        valid=valid,
+    )

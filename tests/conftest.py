@@ -1,0 +1,48 @@
+"""Test configuration.
+
+Tests run on CPU with a virtual 8-device mesh so multi-chip sharding code
+paths (jax.sharding.Mesh + shard_map) are exercised without TPU hardware, per
+the driver contract. f64 is enabled so parity tests against the reference's
+f64 semantics are meaningful; TPU-dtype (f32/bf16) behavior is tested
+explicitly with tolerances.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize registers a TPU PJRT plugin and pins
+# JAX_PLATFORMS before this file runs; override explicitly so the test suite
+# always runs on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def reference_field_json():
+    """Path to the WPILib 2026 field layout shipped with the reference, if
+    present (read-only; used for multi-tag fusion parity tests)."""
+    path = os.path.join(REFERENCE_DIR, "field.json")
+    if not os.path.exists(path):
+        pytest.skip("reference field.json not available")
+    return path
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
