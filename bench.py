@@ -1,0 +1,144 @@
+"""Benchmark: fused batched detect+pose throughput on one chip.
+
+Measures BASELINE config #5's shape: a 4-camera batch of 1280x800 grayscale
+frames with real 36h11 tags through the full fused pipeline (threshold ->
+CCL -> cluster -> quad -> refine -> decode -> unproject -> SQPnP), steady
+state, on whatever device JAX provides (the driver runs this on one TPU
+chip).
+
+Baseline denominator: the reference's Rust/C detector publishes no numbers
+(BASELINE.md) and can't be built here (no cargo), so the measured stand-in is
+OpenCV's AprilTag 36h11 detector (the same detection problem, C++ on this
+host's CPU, single process) on identical frames. ``vs_baseline`` is
+tpu_fps / cpu_fps — the north-star target is >= 4.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+H, W = 800, 1280
+BATCH = 4
+WARMUP = 3
+ITERS = 20
+
+
+def build_scene():
+    """Render a 1280x800 frame with several 36h11 tags at varied poses."""
+    from chalkydri_tpu.detector import load_family
+    from tests.reference_impl.render import place_tag
+
+    fam = load_family("tag36h11")
+    canvas = np.full((H, W), 150, np.uint8)
+    quads = {
+        1: np.array([[150, 500], [330, 500], [330, 320], [150, 320]], np.float32),
+        5: np.array([[520, 560], [700, 530], [690, 360], [530, 390]], np.float32),
+        9: np.array([[880, 480], [1020, 480], [1020, 340], [880, 340]], np.float32),
+        13: np.array([[1080, 700], [1220, 690], [1215, 560], [1085, 570]], np.float32),
+    }
+    for tid, q in quads.items():
+        place_tag(canvas, fam, tid, q)
+    return canvas
+
+
+def bench_tpu(frames_np):
+    import jax
+    import jax.numpy as jnp
+
+    from chalkydri_tpu.geometry.field_layout import parse_field_layout
+    from chalkydri_tpu.pipeline import build_rig_from_config, make_vision_pipeline
+
+    calib = {
+        "fx": 1100.0, "fy": 1100.0, "cx": W / 2, "cy": H / 2,
+        "k1": 0.0, "k2": 0.0, "p1": 0.0, "p2": 0.0, "k3": 0.0,
+        "width": W, "height": H,
+    }
+    tags = [
+        {
+            "ID": t,
+            "pose": {
+                "translation": {"x": 10.0 + 0.5 * t, "y": 4.0, "z": 1.0},
+                "rotation": {"quaternion": {"W": 0.0, "X": 0.0, "Y": 0.0, "Z": 1.0}},
+            },
+        }
+        for t in (1, 5, 9, 13)
+    ]
+    layout = parse_field_layout(
+        {"tags": tags, "field": {"length": 16.5, "width": 8.0}}, dtype=jnp.float32
+    )
+    cams = [
+        {
+            "calib": json.dumps({"OpenCVModel5": calib}),
+            "robot_to_cam": json.dumps(
+                {"roll": 0, "pitch": 0, "yaw": 0, "x": 0, "y": 0, "z": 1.0}
+            ),
+        }
+    ] * BATCH
+    params, rc = build_rig_from_config(cams, layout)
+    step = make_vision_pipeline(layout, params, rc)
+
+    frames = jnp.asarray(frames_np)
+    gyro = jnp.zeros(BATCH, jnp.float32)
+
+    out = jax.block_until_ready(step(frames, gyro))  # compile
+    n_det = int(np.asarray(out.detections.valid[0]).sum())
+    for _ in range(WARMUP):
+        jax.block_until_ready(step(frames, gyro))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = step(frames, gyro)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / ITERS
+    return BATCH / dt, n_det, str(jax.devices()[0])
+
+
+def bench_cpu_reference(frame):
+    """OpenCV AprilTag 36h11 detect on the same frame, single process."""
+    import cv2
+
+    d = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_APRILTAG_36h11)
+    det = cv2.aruco.ArucoDetector(d)
+    det.detectMarkers(frame)  # warm
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        corners, ids, _ = det.detectMarkers(frame)
+    dt = (time.perf_counter() - t0) / iters
+    return 1.0 / dt
+
+
+def main():
+    frame = build_scene()
+    frames = np.broadcast_to(frame, (BATCH, H, W)).copy()
+
+    cpu_fps = bench_cpu_reference(frame)
+    tpu_fps, n_det, dev = bench_tpu(frames)
+
+    print(
+        json.dumps(
+            {
+                "metric": "fps_per_chip_1280x800_batch4_detect_pose",
+                "value": round(tpu_fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(tpu_fps / cpu_fps, 3),
+            }
+        )
+    )
+    print(
+        f"# device={dev} cpu_ref={cpu_fps:.1f} fps "
+        f"detections_frame0={n_det}/4 batch={BATCH}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

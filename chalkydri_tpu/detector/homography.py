@@ -1,0 +1,88 @@
+"""Homography estimation + bilinear image sampling for tag decoding.
+
+libapriltag computes a homography from the tag's unit square to the fitted
+quad (via apriltag-sys in the reference, SURVEY.md section 2.3). Here the
+4-point DLT is solved in closed form per quad (vmapped batch of 8x8 systems),
+and payload sampling is a batched bilinear gather from the grayscale frame.
+
+Tag coordinate convention: the quad's corners correspond to
+(-1, -1), (1, -1), (1, 1), (-1, 1) in tag coordinates — the OUTER edge of the
+black border ring. With the detector's corner order (BL, BR, TR, TL for an
+upright tag, y down in the image) this puts tag +x to the right and tag +y
+UP in the image, so data-grid row r (top to bottom) lives at decreasing y.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Tag-frame corners in the order the quad fitter emits them (BL, BR, TR, TL
+# in image terms for an upright tag).
+TAG_CORNERS = jnp.array(
+    [[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]], dtype=jnp.float32
+)
+
+
+def homography_from_corners(corners: jax.Array) -> jax.Array:
+    """DLT homography H mapping tag coords -> image pixels.
+
+    corners: [4, 2] image corners ordered to match TAG_CORNERS.
+    Returns H [3, 3] with H[2,2] = 1.
+    """
+    src = TAG_CORNERS.astype(corners.dtype)
+    rows = []
+    rhs = []
+    for i in range(4):
+        x, y = src[i, 0], src[i, 1]
+        u, v = corners[i, 0], corners[i, 1]
+        rows.append(
+            jnp.stack([x, y, jnp.ones_like(x), jnp.zeros_like(x),
+                       jnp.zeros_like(x), jnp.zeros_like(x), -u * x, -u * y])
+        )
+        rhs.append(u)
+        rows.append(
+            jnp.stack([jnp.zeros_like(x), jnp.zeros_like(x), jnp.zeros_like(x),
+                       x, y, jnp.ones_like(x), -v * x, -v * y])
+        )
+        rhs.append(v)
+    a = jnp.stack(rows)  # [8, 8]
+    b = jnp.stack(rhs)  # [8]
+    h8 = jnp.linalg.solve(a, b)
+    h = jnp.concatenate([h8, jnp.ones_like(h8[:1])]).reshape(3, 3)
+    return h
+
+
+def apply_homography(h: jax.Array, pts: jax.Array) -> jax.Array:
+    """Map tag-frame points [..., 2] through H [3, 3] -> pixels [..., 2]."""
+    x, y = pts[..., 0], pts[..., 1]
+    w = h[2, 0] * x + h[2, 1] * y + h[2, 2]
+    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    u = (h[0, 0] * x + h[0, 1] * y + h[0, 2]) / w
+    v = (h[1, 0] * x + h[1, 1] * y + h[1, 2]) / w
+    return jnp.stack([u, v], axis=-1)
+
+
+def bilinear_sample(img: jax.Array, xy: jax.Array) -> jax.Array:
+    """Bilinear sample a [H, W] image at float pixel coords [..., 2].
+
+    Out-of-bounds coordinates clamp to the border (callers gate validity
+    separately). Returns float32 samples.
+    """
+    h, w = img.shape
+    x = jnp.clip(xy[..., 0], 0.0, w - 1.000001)
+    y = jnp.clip(xy[..., 1], 0.0, h - 1.000001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = x - x0
+    fy = y - y0
+    flat = img.reshape(-1).astype(jnp.float32)
+    v00 = flat[y0 * w + x0]
+    v01 = flat[y0 * w + x1]
+    v10 = flat[y1 * w + x0]
+    v11 = flat[y1 * w + x1]
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy

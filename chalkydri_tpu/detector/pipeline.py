@@ -1,0 +1,136 @@
+"""The fused batched AprilTag detector: frames in, detections out.
+
+This is the TPU replacement for the reference's per-camera C-library call
+``self.detector.detect(&image)`` (``crates/apriltags/src/lib.rs:301``): one
+jitted program runs threshold -> segmentation -> clustering -> quad fit ->
+edge refine -> decode for a whole batch of frames (all cameras at once,
+SURVEY.md section 2.4 mapping #1).
+
+Output is fixed-shape (MAX_DETECTIONS per frame, matching the reference's
+``AprilTagDetections`` CuArrayVec capacity, crates/apriltags/src/lib.rs:42):
+ids, corners, decision margins and a validity mask, sorted by decision margin
+with per-tag-id dedup (the outer and inner border boundaries can both fit the
+same tag; the reference's C detector dedups inside libapriltag).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from chalkydri_tpu.detector.cluster import (
+    MAX_CLUSTER_POINTS,
+    MAX_CLUSTERS,
+    gradient_clusters,
+)
+from chalkydri_tpu.detector.decode import make_decoder
+from chalkydri_tpu.detector.families import (
+    DEFAULT_BITS_CORRECTED,
+    DEFAULT_FAMILY,
+    TagFamily,
+    load_family,
+)
+from chalkydri_tpu.detector.quad import fit_quads
+from chalkydri_tpu.detector.refine import refine_quads
+from chalkydri_tpu.detector.segment import label_components
+from chalkydri_tpu.detector.threshold import adaptive_threshold
+
+MAX_DETECTIONS = 16  # crates/apriltags/src/lib.rs:42
+
+
+class Detections(NamedTuple):
+    """Fixed-capacity detections, the analogue of ``AprilTagDetections``
+    (ids/poses/decision_margins triple, crates/apriltags/src/lib.rs:47-52) —
+    with corners instead of C-library poses: the pose solve happens in the
+    fused SQPnP stage."""
+
+    ids: jax.Array  # [B, MAX_DETECTIONS] int32, -1 for empty slots
+    corners: jax.Array  # [B, MAX_DETECTIONS, 4, 2] float32
+    decision_margins: jax.Array  # [B, MAX_DETECTIONS] float32
+    hammings: jax.Array  # [B, MAX_DETECTIONS] int32
+    valid: jax.Array  # [B, MAX_DETECTIONS] bool
+
+    def count(self):
+        return jnp.sum(self.valid, axis=-1)
+
+
+def make_detector(
+    family: str | TagFamily = DEFAULT_FAMILY,
+    bits_corrected: int = DEFAULT_BITS_CORRECTED,
+    max_detections: int = MAX_DETECTIONS,
+    ccl_iters: int = 16,
+    refine: bool = True,
+    max_edge_points: int | None = None,
+    max_clusters: int = MAX_CLUSTERS,
+    cluster_points: int = MAX_CLUSTER_POINTS,
+):
+    """Build a jitted ``detect(gray_batch) -> Detections``.
+
+    Mirrors ``DetectorBuilder::add_family_bits(family, bits_corrected)``
+    (crates/apriltags/src/lib.rs:258-261). The capacity knobs trade peak
+    memory/compile size for dense-scene capacity (defaults suit megapixel
+    frames; dry-runs and tests shrink them).
+    """
+    from chalkydri_tpu.detector.cluster import MAX_EDGE_POINTS
+
+    fam = load_family(family) if isinstance(family, str) else family
+    decode = make_decoder(fam, bits_corrected=bits_corrected)
+    edge_cap = MAX_EDGE_POINTS if max_edge_points is None else max_edge_points
+
+    def detect_one(gray):
+        tern = adaptive_threshold(gray[None])[0]
+        labels = label_components(tern[None], iters=ccl_iters)[0]
+        clusters = gradient_clusters(
+            tern, labels,
+            max_points=edge_cap,
+            max_clusters=max_clusters,
+            cluster_points=cluster_points,
+        )
+        quads = fit_quads(clusters.points, clusters.mask, clusters.valid)
+        corners = quads.corners
+        if refine:
+            corners = refine_quads(gray, corners, quads.valid)
+        dec = decode(gray, corners, quads.valid)  # [K] fields
+
+        # --- rank by decision margin, dedup by tag id ----------------------
+        margin = jnp.where(dec.valid, dec.decision_margin, -1.0)
+        order = jnp.argsort(-margin)  # best first
+        ids_s = dec.tag_id[order]
+        margins_s = margin[order]
+        corners_s = dec.corners[order]
+        ham_s = dec.hamming[order]
+        valid_s = dec.valid[order]
+
+        # Dedup: a detection is kept only if no earlier (better) slot has the
+        # same tag id. K x K mask, K = MAX_CLUSTERS (static, small).
+        k = ids_s.shape[0]
+        same = ids_s[None, :] == ids_s[:, None]  # [k, k]
+        earlier = jnp.tril(jnp.ones((k, k), bool), k=-1)
+        dup = jnp.any(same & earlier & valid_s[None, :], axis=1)
+        keep = valid_s & ~dup
+
+        # Compact the kept detections to the front, truncate to capacity.
+        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        slot = jnp.where(keep & (pos < max_detections), pos, max_detections)
+
+        def compact(v, fill):
+            buf = jnp.full((max_detections + 1, *v.shape[1:]), fill, v.dtype)
+            return buf.at[slot].set(v, mode="drop")[:max_detections]
+
+        return Detections(
+            ids=compact(ids_s, jnp.int32(-1)),
+            corners=compact(corners_s, jnp.float32(0)),
+            decision_margins=compact(margins_s, jnp.float32(0)),
+            hammings=compact(ham_s, jnp.int32(0)),
+            valid=compact(keep, False),
+        )
+
+    @jax.jit
+    def detect(gray_batch):
+        """gray_batch: [B, H, W] uint8 -> Detections (leading dim B)."""
+        return jax.vmap(detect_one)(gray_batch)
+
+    return detect

@@ -1,0 +1,244 @@
+"""Detector tests: per-stage golden checks on rendered synthetic scenes and
+end-to-end ID/corner parity against ground truth (SURVEY.md section 4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from chalkydri_tpu.detector import (
+    adaptive_threshold,
+    gradient_clusters,
+    fit_quads,
+    label_components,
+    load_family,
+    make_detector,
+    refine_quads,
+)
+from chalkydri_tpu.detector.segment import INVALID, labels_converged
+from tests.reference_impl.render import axis_aligned_corners, simple_scene
+
+FAM = load_family("tag36h11")
+
+
+def detect_once(canvas, **kw):
+    detect = make_detector(**kw)
+    return detect(jnp.asarray(canvas)[None])
+
+
+def valid_list(out):
+    v = np.asarray(out.valid[0])
+    return [
+        (int(out.ids[0, i]), np.asarray(out.corners[0, i]))
+        for i in np.where(v)[0]
+    ]
+
+
+class TestThreshold:
+    def test_classifies_black_white_skip(self):
+        canvas, _ = simple_scene(FAM, [(0, axis_aligned_corners(200, 240, 60))])
+        tern = np.asarray(adaptive_threshold(jnp.asarray(canvas)[None])[0])
+        assert set(np.unique(tern)) <= {0, 127, 255}
+        # Near the border's outer edge there's local contrast: black inside,
+        # white outside. (Deep interior of a thick border is legitimately
+        # 'skip' — its whole tile neighborhood is black, as in libapriltag.)
+        assert tern[300 - 2, 200] == 0  # just inside bottom border edge
+        assert tern[300 + 2, 200] == 255  # just outside (white ring)
+        # Flat background far from the tag is 'skip' (no contrast).
+        assert tern[10, 10] == 127
+
+    def test_batch_shape(self):
+        canvas, _ = simple_scene(FAM, [(0, axis_aligned_corners(200, 240, 60))])
+        batch = jnp.stack([jnp.asarray(canvas)] * 3)
+        tern = adaptive_threshold(batch)
+        assert tern.shape == batch.shape
+
+
+class TestSegment:
+    def test_matches_scipy_components(self):
+        """Same-label iff same connected component, checked against
+        scipy.ndimage on the black pixels (4+8 connectivity match)."""
+        from scipy import ndimage
+
+        canvas, _ = simple_scene(
+            FAM,
+            [(0, axis_aligned_corners(200, 240, 60)),
+             (7, axis_aligned_corners(450, 240, 80))],
+        )
+        tern_j = adaptive_threshold(jnp.asarray(canvas)[None])
+        labels = np.asarray(label_components(tern_j, iters=32)[0])
+        tern = np.asarray(tern_j[0])
+
+        black = tern == 0
+        ref_lab, n = ndimage.label(black, structure=np.ones((3, 3)))
+        # Our black connectivity is 4-connective; scipy 8-connective labels
+        # are a superset — every one of OUR blobs must sit inside ONE scipy
+        # blob, and pixels of one of our labels must agree.
+        ours = labels.copy()
+        ours[~black] = -1
+        for lab in np.unique(ours[ours >= 0]):
+            sel = ours == lab
+            assert len(np.unique(ref_lab[sel])) == 1
+
+        # White: 8-connectivity both sides -> 1:1 correspondence of partitions
+        white = tern == 255
+        ref_w, _ = ndimage.label(white, structure=np.ones((3, 3)))
+        for lab in np.unique(labels[white]):
+            sel = (labels == lab) & white
+            assert len(np.unique(ref_w[sel])) == 1
+        for lab in np.unique(ref_w[white]):
+            sel = (ref_w == lab) & white
+            assert len(np.unique(labels[sel])) == 1
+
+    def test_convergence_on_tag_scene(self):
+        canvas, _ = simple_scene(FAM, [(3, axis_aligned_corners(320, 240, 100))])
+        tern = adaptive_threshold(jnp.asarray(canvas)[None])
+        labels = label_components(tern, iters=16)
+        assert labels_converged(tern, labels)
+
+    def test_skip_pixels_invalid(self):
+        canvas, _ = simple_scene(FAM, [(0, axis_aligned_corners(200, 240, 60))])
+        tern = adaptive_threshold(jnp.asarray(canvas)[None])
+        labels = np.asarray(label_components(tern)[0])
+        assert np.all(labels[np.asarray(tern[0]) == 127] == INVALID)
+
+
+class TestClusterQuad:
+    def test_border_cluster_and_quad(self):
+        canvas, gts = simple_scene(FAM, [(7, axis_aligned_corners(450, 240, 80))])
+        tern = adaptive_threshold(jnp.asarray(canvas)[None])[0]
+        labels = label_components(tern[None])[0]
+        cl = gradient_clusters(tern, labels)
+        # The tag border boundary is the biggest cluster.
+        assert int(cl.count[0]) > 500
+        quads = fit_quads(cl.points, cl.mask, cl.valid)
+        qv = np.asarray(quads.valid)
+        assert qv.sum() >= 1
+        # One of the valid quads matches the tag's outer border within 1 px
+        # (pre-refinement: the 0.5 px midpoint bias is expected).
+        gt = gts[7]
+        found = False
+        for i in np.where(qv)[0]:
+            c = np.asarray(quads.corners[i])
+            for s in range(4):
+                if np.abs(np.roll(c, s, axis=0) - gt).max() < 1.0:
+                    found = True
+        assert found
+
+    def test_refine_removes_midpoint_bias(self):
+        canvas, gts = simple_scene(FAM, [(7, axis_aligned_corners(450, 240, 80))])
+        gray = jnp.asarray(canvas)
+        tern = adaptive_threshold(gray[None])[0]
+        labels = label_components(tern[None])[0]
+        cl = gradient_clusters(tern, labels)
+        quads = fit_quads(cl.points, cl.mask, cl.valid)
+        refined = refine_quads(gray, quads.corners, quads.valid)
+        gt = gts[7]
+        best = 1e9
+        for i in np.where(np.asarray(quads.valid))[0]:
+            c = np.asarray(refined[i])
+            for s in range(4):
+                best = min(best, np.abs(np.roll(c, s, axis=0) - gt).max())
+        assert best < 0.1, f"refined corner error {best}"
+
+
+class TestDetectEndToEnd:
+    def test_ids_and_corners_exact(self):
+        canvas, gts = simple_scene(
+            FAM,
+            [(0, axis_aligned_corners(200, 240, 60)),
+             (7, axis_aligned_corners(450, 240, 80))],
+        )
+        out = detect_once(canvas)
+        dets = dict((tid, c) for tid, c in valid_list(out))
+        assert set(dets.keys()) == {0, 7}
+        for tid, c in dets.items():
+            err = np.abs(c - gts[tid]).max()
+            assert err < 0.1, f"tag {tid} corner err {err}"
+
+    @pytest.mark.parametrize("r90", [0, 1, 2, 3])
+    def test_rotated_tags_canonical_corners(self, r90):
+        """Physically rotated tags must decode to the same id with corners
+        reported in canonical tag-frame order."""
+        canvas, gts = simple_scene(
+            FAM, [(3, axis_aligned_corners(320, 240, 80))], rot90s=[r90]
+        )
+        out = detect_once(canvas)
+        dets = dict(valid_list(out))
+        assert 3 in dets
+        assert np.abs(dets[3] - gts[3]).max() < 0.1
+
+    def test_projective_warp(self):
+        """A perspective-distorted tag: id exact, corners < 0.3 px."""
+        corners = np.array(
+            [[180.0, 330.0], [420.0, 300.0], [400.0, 130.0], [210.0, 160.0]],
+            np.float32,
+        )
+        canvas, gts = simple_scene(FAM, [(11, corners)])
+        out = detect_once(canvas)
+        dets = dict(valid_list(out))
+        assert 11 in dets
+        assert np.abs(dets[11] - gts[11]).max() < 0.3
+
+    def test_empty_scene(self):
+        canvas = np.full((480, 640), 128, np.uint8)
+        out = detect_once(canvas)
+        assert int(out.count()[0]) == 0
+
+    def test_noise_robustness(self):
+        canvas, gts = simple_scene(
+            FAM, [(5, axis_aligned_corners(320, 240, 90))], noise=8.0
+        )
+        out = detect_once(canvas)
+        dets = dict(valid_list(out))
+        assert 5 in dets
+        assert np.abs(dets[5] - gts[5]).max() < 0.6
+
+    def test_16h5_family(self):
+        fam16 = load_family("tag16h5")
+        canvas, gts = simple_scene(fam16, [(4, axis_aligned_corners(320, 240, 80))])
+        out = detect_once(canvas, family="tag16h5", bits_corrected=0)
+        dets = dict(valid_list(out))
+        assert 4 in dets
+
+    def test_batch_equals_singles(self):
+        """Batch of N frames == N independent detects (SURVEY.md section 4
+        batch equivalence)."""
+        scenes = [
+            simple_scene(FAM, [(i, axis_aligned_corners(320, 240, 80))])[0]
+            for i in (0, 5, 9)
+        ]
+        detect = make_detector()
+        batch_out = detect(jnp.stack([jnp.asarray(s) for s in scenes]))
+        for b, scene in enumerate(scenes):
+            single = detect(jnp.asarray(scene)[None])
+            np.testing.assert_array_equal(
+                np.asarray(batch_out.ids[b]), np.asarray(single.ids[0])
+            )
+            np.testing.assert_allclose(
+                np.asarray(batch_out.corners[b]),
+                np.asarray(single.corners[0]),
+                atol=1e-4,
+            )
+
+    def test_no_false_positives_on_texture(self):
+        rng = np.random.default_rng(5)
+        canvas = (rng.uniform(0, 255, (480, 640))).astype(np.uint8)
+        out = detect_once(canvas)
+        assert int(out.count()[0]) == 0
+
+    def test_agrees_with_opencv_aruco(self):
+        """Independent oracle: cv2's AprilTag detector finds the same ids on
+        the same image."""
+        cv2 = pytest.importorskip("cv2")
+        canvas, _ = simple_scene(
+            FAM,
+            [(2, axis_aligned_corners(200, 240, 70)),
+             (30, axis_aligned_corners(460, 240, 70))],
+        )
+        out = detect_once(canvas)
+        ours = sorted(tid for tid, _ in valid_list(out))
+        d = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_APRILTAG_36h11)
+        det = cv2.aruco.ArucoDetector(d)
+        _, ids, _ = det.detectMarkers(canvas)
+        theirs = sorted(int(i) for i in ids.ravel()) if ids is not None else []
+        assert ours == theirs == [2, 30]

@@ -1,0 +1,133 @@
+"""End-to-end fused pipeline tests: rendered field scenes -> robot pose.
+
+Covers BASELINE configs #3 (detect + SQPnP pose with intrinsics) and #4
+(multi-tag field-relative fusion against field.json) on synthetic imagery
+with exact ground truth.
+"""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chalkydri_tpu.geometry import SE3, parse_field_layout, robot_to_cam_from_offsets
+from chalkydri_tpu.geometry.camera import OpenCVModel5
+from chalkydri_tpu.geometry.tags import corners_world
+from chalkydri_tpu.pipeline import build_rig_from_config, make_vision_pipeline
+from chalkydri_tpu.detector import load_family
+from tests.reference_impl.render import place_tag
+
+FAM = load_family("tag36h11")
+
+# Pinhole (zero distortion) so the homography warp renders the exact lens
+# image of planar tags.
+CALIB = {
+    "fx": 900.0, "fy": 900.0, "cx": 320.0, "cy": 240.0,
+    "k1": 0.0, "k2": 0.0, "p1": 0.0, "p2": 0.0, "k3": 0.0,
+    "width": 640, "height": 480,
+}
+
+
+def world_to_cam(robot_pos, robot_yaw, r2c):
+    c, s = np.cos(robot_yaw), np.sin(robot_yaw)
+    w2r_rot = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]], np.float64)
+    w2r_t = -w2r_rot @ robot_pos
+    return r2c.compose(SE3(jnp.asarray(w2r_rot, jnp.float32), jnp.asarray(w2r_t, jnp.float32)))
+
+
+def render_field_view(layout, tag_ids, robot_pos, robot_yaw, r2c, size=(480, 640)):
+    """Render the camera's view of the given field tags; returns the frame."""
+    model = OpenCVModel5.from_dict(CALIB, dtype=jnp.float32)
+    w2c = world_to_cam(robot_pos, robot_yaw, r2c)
+    canvas = np.full(size, 150, np.uint8)
+    for tid in tag_ids:
+        pose = layout.tag_pose(jnp.asarray(tid))
+        corners_w = corners_world(pose)  # [4, 3] canonical order
+        pc = w2c.apply(corners_w)
+        pix, vis = model.project(pc)
+        assert bool(jnp.all(vis)), f"tag {tid} behind camera"
+        place_tag(canvas, FAM, tid, np.asarray(pix, np.float32))
+    return canvas
+
+
+@pytest.fixture(scope="module")
+def layout(reference_field_json):
+    with open(reference_field_json) as f:
+        return parse_field_layout(json.load(f), dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def rig():
+    cams = [{"calib": json.dumps({"OpenCVModel5": CALIB}),
+             "robot_to_cam": json.dumps({"roll": 0, "pitch": 0, "yaw": 0,
+                                         "x": 0, "y": 0, "z": 1.0})}] * 2
+    return cams
+
+
+class TestFusedPipeline:
+    def test_multi_tag_field_pose(self, layout, rig):
+        """Two cameras, each seeing tags 3+4 -> both recover the true robot
+        pose from one fused launch (BASELINE config #4)."""
+        r2c = robot_to_cam_from_offsets(0, 0, 1.0, 0, 0, 0, dtype=jnp.float32)
+        robot_pos = np.array([9.6, 4.2, 0.0])
+        robot_yaw = 0.0
+        frame = render_field_view(layout, [3, 4], robot_pos, robot_yaw, r2c)
+
+        params, rc = build_rig_from_config(rig, layout)
+        step = make_vision_pipeline(layout, params, rc)
+        frames = jnp.stack([jnp.asarray(frame)] * 2)
+        out = step(frames, jnp.zeros(2, jnp.float32))
+
+        for b in range(2):
+            assert bool(out.pose_valid[b])
+            assert int(out.tag_count[b]) == 2
+            assert abs(float(out.pose_x[b]) - robot_pos[0]) < 0.02
+            assert abs(float(out.pose_y[b]) - robot_pos[1]) < 0.02
+            assert abs(float(out.pose_yaw[b])) < 0.01
+            std = np.asarray(out.std_devs[b])
+            assert std[0] <= 0.2 and std[2] <= 0.2
+
+    def test_single_tag_pose(self, layout, rig):
+        """One visible tag with a truthful gyro (BASELINE config #3)."""
+        r2c = robot_to_cam_from_offsets(0, 0, 1.0, 0, 0, 0, dtype=jnp.float32)
+        robot_pos = np.array([9.9, 4.35, 0.0])
+        frame = render_field_view(layout, [3], robot_pos, 0.0, r2c)
+
+        params, rc = build_rig_from_config(rig, layout)
+        step = make_vision_pipeline(layout, params, rc)
+        out = step(jnp.stack([jnp.asarray(frame)] * 2), jnp.zeros(2, jnp.float32))
+        assert bool(out.pose_valid[0])
+        assert int(out.tag_count[0]) == 1
+        # Single-tag planar ambiguity: accept the looser envelope the
+        # reference itself exhibits; heading is gyro-pivoted.
+        assert abs(float(out.pose_x[0]) - robot_pos[0]) < 0.25
+        assert abs(float(out.pose_y[0]) - robot_pos[1]) < 0.25
+
+    def test_unknown_tag_ignored(self, layout, rig):
+        """A detected id absent from the layout must not contribute
+        (crates/apriltags/src/lib.rs:306-308: tags.get(id) else continue)."""
+        r2c = robot_to_cam_from_offsets(0, 0, 1.0, 0, 0, 0, dtype=jnp.float32)
+        robot_pos = np.array([9.6, 4.2, 0.0])
+        frame = render_field_view(layout, [3, 4], robot_pos, 0.0, r2c)
+        # Paint an extra tag that is NOT in the field layout (id 50 > 32).
+        from tests.reference_impl.render import axis_aligned_corners
+
+        place_tag(frame, FAM, 50, axis_aligned_corners(90, 90, 55))
+
+        params, rc = build_rig_from_config(rig, layout)
+        step = make_vision_pipeline(layout, params, rc)
+        out = step(jnp.stack([jnp.asarray(frame)] * 2), jnp.zeros(2, jnp.float32))
+        # id 50 is detected but not used for the solve
+        ids = set(int(i) for i in np.asarray(out.detections.ids[0]) if i >= 0)
+        assert 50 in ids
+        assert int(out.tag_count[0]) == 2
+        assert abs(float(out.pose_x[0]) - robot_pos[0]) < 0.02
+
+    def test_no_tags_invalid(self, layout, rig):
+        frame = np.full((480, 640), 150, np.uint8)
+        params, rc = build_rig_from_config(rig, layout)
+        step = make_vision_pipeline(layout, params, rc)
+        out = step(jnp.stack([jnp.asarray(frame)] * 2), jnp.zeros(2, jnp.float32))
+        assert not bool(out.pose_valid[0])
+        assert int(out.tag_count[0]) == 0

@@ -1,0 +1,82 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chalkydri_tpu.detector.threshold import adaptive_threshold
+from chalkydri_tpu.parallel.mesh import batch_sharding, frame_sharding, make_mesh
+from chalkydri_tpu.parallel.sharded_stages import sharded_adaptive_threshold
+from tests.reference_impl.render import axis_aligned_corners, simple_scene
+from chalkydri_tpu.detector import load_family
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8, space=2)
+
+
+class TestMesh:
+    def test_mesh_axes(self, mesh8):
+        assert dict(mesh8.shape) == {"data": 4, "space": 2}
+
+    def test_shardings(self, mesh8):
+        x = jax.device_put(
+            np.zeros((4, 64, 128), np.uint8), frame_sharding(mesh8, spatial=True)
+        )
+        # rows split over 'space': each shard holds 32 rows
+        shard_shapes = {s.data.shape for s in x.addressable_shards}
+        assert shard_shapes == {(1, 32, 128)}
+
+
+class TestShardedThreshold:
+    def test_matches_unsharded(self, mesh8):
+        """Row-sharded threshold with ICI halo exchange == the single-device
+        stage, bit for bit."""
+        fam = load_family("tag36h11")
+        canvas, _ = simple_scene(
+            fam,
+            [(0, axis_aligned_corners(200, 240, 60)),
+             (7, axis_aligned_corners(450, 240, 80))],
+        )
+        batch = np.stack([canvas] * 4)
+        ref = np.asarray(adaptive_threshold(jnp.asarray(batch)))
+
+        sharded_in = jax.device_put(batch, frame_sharding(mesh8, spatial=True))
+        out = np.asarray(sharded_adaptive_threshold(sharded_in, mesh8))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_shard_boundary_tag(self, mesh8):
+        """A tag straddling the row-shard boundary must threshold
+        identically (the halo-exchange correctness case)."""
+        fam = load_family("tag36h11")
+        # 480 rows over 2 shards -> boundary at row 240; center a tag on it.
+        canvas, _ = simple_scene(fam, [(3, axis_aligned_corners(320, 240, 80))])
+        batch = np.stack([canvas] * 4)
+        ref = np.asarray(adaptive_threshold(jnp.asarray(batch)))
+        sharded_in = jax.device_put(batch, frame_sharding(mesh8, spatial=True))
+        out = np.asarray(sharded_adaptive_threshold(sharded_in, mesh8))
+        np.testing.assert_array_equal(out, ref)
+
+
+class TestDataParallelPipeline:
+    def test_batched_step_partitions(self, mesh8):
+        """The fused step runs under a data-sharded batch and produces the
+        same results as unsharded."""
+        import __graft_entry__ as g
+
+        fn, (frames, gyro) = g.entry()
+        ref = fn(frames, gyro)
+
+        frames_s = jax.device_put(np.asarray(frames), frame_sharding(mesh8))
+        gyro_s = jax.device_put(np.asarray(gyro), batch_sharding(mesh8))
+        out = fn(frames_s, gyro_s)
+        np.testing.assert_array_equal(
+            np.asarray(out.detections.ids), np.asarray(ref.detections.ids)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.pose_x), np.asarray(ref.pose_x), atol=1e-5
+        )
