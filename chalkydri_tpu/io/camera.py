@@ -1,0 +1,262 @@
+"""Camera capture: hotplug provider + per-camera capture pipelines.
+
+Rebuild of the reference's L0 capture layer without GStreamer
+(SURVEY.md section 2.3: the GStreamer C pipeline becomes a host capture shim;
+color->gray moves on-device):
+
+- ``V4l2Provider`` (``crates/chalkydri/src/cameras/providers.rs:16-167``):
+  camera hotplug registry. The reference listens to GStreamer device-bus
+  add/remove messages keyed by USB bus path; here we poll sysfs/dev nodes —
+  same contract (``devices()``, add/remove callbacks, stable ids).
+- ``CamPipeline`` (``crates/chalkydri/src/cameras/pipeline.rs:30-392``):
+  per-camera capture with the reference's latency discipline — depth-1
+  drop-oldest buffering, non-blocking latest-frame poll, time-of-validity
+  stamped at frame arrival. Backed by cv2.VideoCapture (V4L2) when the
+  device exists, or a deterministic synthetic tag scene for tests/dev (the
+  reference's laptop-webcam graph entries play this role,
+  ``chalkydri.ron:72-88``).
+- tolerates absent/unplugged devices by emitting None payloads downstream
+  tasks skip (``pipeline.rs:383-387``, SURVEY.md section 5.3).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import threading
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from chalkydri_tpu.runtime.clock import RobotClock, Stamped, Tov
+
+
+class V4l2Provider:
+    """Hotplug registry: stable-id -> /dev/videoN mapping, with add/remove
+    callbacks (providers.rs:31-81 trait surface)."""
+
+    def __init__(self, poll_interval: float = 1.0):
+        self._devices: dict[str, str] = {}
+        self._lock = threading.Lock()
+        self._callbacks: list[Callable[[str, str, bool], None]] = []
+        self._poll_interval = poll_interval
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    @staticmethod
+    def _scan() -> dict[str, str]:
+        """id -> device node. The id is the USB bus path when sysfs exposes
+        it (matching the reference keying by ``device.bus_path``,
+        providers.rs:119-123), else the node name."""
+        out = {}
+        for node in sorted(glob.glob("/dev/video*")):
+            name = os.path.basename(node)
+            sys_link = f"/sys/class/video4linux/{name}/device"
+            dev_id = name
+            try:
+                target = os.readlink(sys_link)
+                dev_id = target.split("/")[-1] or name
+            except OSError:
+                pass
+            # only capture-capable even nodes by convention
+            out.setdefault(dev_id, node)
+        return out
+
+    def start(self) -> None:
+        self.refresh()
+        if self._thread is None:
+            self._stop.clear()
+            self._thread = threading.Thread(
+                target=self._poll_loop, daemon=True, name="v4l2-provider"
+            )
+            self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread = None
+
+    def _poll_loop(self):
+        while not self._stop.wait(self._poll_interval):
+            self.refresh()
+
+    def refresh(self) -> None:
+        found = self._scan()
+        with self._lock:
+            added = {k: v for k, v in found.items() if k not in self._devices}
+            removed = {k: v for k, v in self._devices.items() if k not in found}
+            self._devices = found
+        for k, v in added.items():
+            for cb in self._callbacks:
+                cb(k, v, True)
+        for k, v in removed.items():
+            for cb in self._callbacks:
+                cb(k, v, False)
+
+    def devices(self) -> dict[str, str]:
+        with self._lock:
+            return dict(self._devices)
+
+    def on_change(self, cb: Callable[[str, str, bool], None]) -> None:
+        self._callbacks.append(cb)
+
+
+PROVIDER = V4l2Provider()  # global, like providers.rs:16-20
+
+
+def _orient(frame: np.ndarray, orientation: str) -> np.ndarray:
+    """videoflip parity (VideoOrientation, chalkydri_core/src/config.rs:198-207)."""
+    if orientation in ("clockwise", "Clockwise"):
+        return np.rot90(frame, -1)
+    if orientation in ("rotate-180", "Rotate180"):
+        return np.rot90(frame, 2)
+    if orientation in ("counterclockwise", "Counterclockwise"):
+        return np.rot90(frame, 1)
+    return frame
+
+
+class _CvCapture:
+    """cv2.VideoCapture wrapper with a reader thread and a depth-1
+    drop-oldest slot (appsink max-buffers=1 drop=true, pipeline.rs:168-172)."""
+
+    def __init__(self, node: str, width: int, height: int, fps: Optional[float]):
+        import cv2
+
+        self._cap = cv2.VideoCapture(node, cv2.CAP_V4L2)
+        if width:
+            self._cap.set(cv2.CAP_PROP_FRAME_WIDTH, width)
+        if height:
+            self._cap.set(cv2.CAP_PROP_FRAME_HEIGHT, height)
+        if fps:
+            self._cap.set(cv2.CAP_PROP_FPS, fps)
+        self._slot = None
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        import cv2
+
+        while not self._stop.is_set():
+            ok, frame = self._cap.read()
+            if not ok:
+                time.sleep(0.05)
+                continue
+            if frame.ndim == 3:
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+            with self._lock:
+                self._slot = (frame, time.monotonic_ns() // 1000)
+
+    def latest(self):
+        with self._lock:
+            out, self._slot = self._slot, None
+            return out
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=1.0)
+        self._cap.release()
+
+
+class SyntheticCapture:
+    """Deterministic synthetic camera: renders a moving 36h11 tag scene at a
+    fixed rate. Used when the configured device is absent (dev machines, CI)
+    so the full pipeline runs hardware-free (SURVEY.md section 4)."""
+
+    def __init__(self, width: int, height: int, fps: float = 30.0,
+                 tag_ids=(3, 4), seed: int = 0):
+        self.width = max(width, 160) or 640
+        self.height = max(height, 120) or 480
+        self._period_us = int(1e6 / fps)
+        self._last_emit = 0
+        self._n = 0
+        self._tag_ids = tag_ids
+        from chalkydri_tpu.detector.families import load_family
+
+        self._family = load_family("tag36h11")
+
+    def latest(self):
+        now = time.monotonic_ns() // 1000
+        if now - self._last_emit < self._period_us:
+            return None
+        self._last_emit = now
+        self._n += 1
+        frame = _render_synthetic(
+            self._family, self.width, self.height, self._tag_ids, self._n
+        )
+        return frame, now
+
+    def close(self):
+        pass
+
+
+def _render_synthetic(family, width, height, tag_ids, phase):
+    """Render a frame with tags drifting sinusoidally."""
+    from chalkydri_tpu.detector.families import render_tag
+
+    canvas = np.full((height, width), 150, np.uint8)
+    for i, tid in enumerate(tag_ids):
+        img = render_tag(family, tid, cell_px=max(4, height // 60))
+        side = img.shape[0]
+        cx = int(width * (0.3 + 0.4 * i) + 0.1 * width * np.sin(phase / 20 + i))
+        cy = int(height * 0.5 + 0.1 * height * np.cos(phase / 17 + i))
+        x0, y0 = cx - side // 2, cy - side // 2
+        x0 = np.clip(x0, 0, width - side)
+        y0 = np.clip(y0, 0, height - side)
+        canvas[y0 : y0 + side, x0 : x0 + side] = img
+    return canvas
+
+
+class CamPipeline:
+    """Per-camera capture source (CuSrcTask parity, pipeline.rs:274-392).
+
+    ``process()`` is non-blocking: returns the newest frame with its
+    time-of-validity, or a payload-less Stamped when no frame is ready /
+    device absent (downstream skips, pipeline.rs:383-387).
+    """
+
+    def __init__(self, config: dict, synthetic_ok: bool = True):
+        self.cam_id_str = config.get("id", "")
+        self.name = config.get("name", "")
+        self.width = int(config.get("width", 0) or 0)
+        self.height = int(config.get("height", 0) or 0)
+        self.fps = config.get("fps")
+        self.orientation = config.get("orientation", "none")
+        self._synthetic_ok = synthetic_ok
+        self._cap = None
+        self._was_present = False
+
+    def start(self, clock: RobotClock) -> None:
+        self._open()
+
+    def _open(self):
+        node = PROVIDER.devices().get(self.cam_id_str)
+        if node is None and os.path.exists(self.cam_id_str):
+            node = self.cam_id_str  # allow raw /dev/videoN ids
+        if node is not None:
+            try:
+                self._cap = _CvCapture(node, self.width, self.height, self.fps)
+                self._was_present = True
+                return
+            except Exception:
+                self._cap = None
+        if self._synthetic_ok:
+            self._cap = SyntheticCapture(self.width, self.height)
+
+    def process(self, clock: RobotClock) -> Stamped:
+        if self._cap is None:
+            self._open()
+            if self._cap is None:
+                return Stamped(None, Tov())
+        item = self._cap.latest()
+        if item is None:
+            return Stamped(None, Tov())
+        frame, _wall_us = item
+        frame = _orient(frame, self.orientation)
+        return Stamped(frame, Tov(clock.now_us()))
+
+    def stop(self, clock: RobotClock) -> None:
+        if self._cap is not None:
+            self._cap.close()
+            self._cap = None

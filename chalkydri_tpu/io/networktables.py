@@ -1,0 +1,365 @@
+"""MiniNT: a from-scratch NetworkTables 4 client (and a loopback server).
+
+The reference had an in-house NT4 client ("MiniNT",
+``/root/reference/book/src/maintenance/subprojects.md:5-10``) later replaced
+by the external ``nt_client`` crate (``Cargo.toml:40``), used to publish
+custom-subsystem outputs to ``/chalkydri/subsystems/{name}`` topics
+(``crates/chalkydri/src/subsystems/python/mod.rs:113-120``) and the robot
+state schema ``Chalkydri/Robot/...`` (``book/src/networktables.md:1-30``).
+
+This module implements the NT4 wire protocol with the standard library only:
+
+- WebSocket client (RFC 6455 handshake + framing, client-masked),
+- NT4 text frames: JSON arrays of {method, params} (publish/announce/...),
+- NT4 binary frames: MessagePack-encoded [topic_uid, timestamp_us, type, value]
+  (a minimal msgpack codec for the types NT uses is included),
+- publish-only client API: ``NT4Client.publish(topic, value)`` for
+  double/boolean/string, plus ``set_many`` batching,
+- ``MiniNTServer``: a loopback server accepting announces + value frames —
+  the test double standing in for the robot-side NT server (the reference's
+  ``tools/ntserver.py`` plays this role with pyntcore).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+import socket
+import struct
+import threading
+import time
+from typing import Any, Optional
+
+NT_PORT = 5810  # standard NT4 port
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+NT_PROTOCOL = "v4.1.networktables.first.wpilib.org"
+
+NT_TYPES = {"boolean": 0, "double": 1, "int": 2, "float": 3, "string": 4}
+
+
+# ---------------------------------------------------------------------------
+# Minimal MessagePack (just what NT4 value frames need)
+# ---------------------------------------------------------------------------
+
+
+def msgpack_encode(obj) -> bytes:
+    out = bytearray()
+
+    def enc(v):
+        if v is None:
+            out.append(0xC0)
+        elif isinstance(v, bool):
+            out.append(0xC3 if v else 0xC2)
+        elif isinstance(v, int):
+            if 0 <= v < 128:
+                out.append(v)
+            elif -32 <= v < 0:
+                out.append(v & 0xFF)
+            else:
+                out.append(0xD3)
+                out.extend(struct.pack(">q", v))
+        elif isinstance(v, float):
+            out.append(0xCB)
+            out.extend(struct.pack(">d", v))
+        elif isinstance(v, str):
+            b = v.encode()
+            if len(b) < 32:
+                out.append(0xA0 | len(b))
+            else:
+                out.append(0xDB)
+                out.extend(struct.pack(">I", len(b)))
+            out.extend(b)
+        elif isinstance(v, (list, tuple)):
+            if len(v) < 16:
+                out.append(0x90 | len(v))
+            else:
+                out.append(0xDD)
+                out.extend(struct.pack(">I", len(v)))
+            for x in v:
+                enc(x)
+        else:
+            raise TypeError(f"msgpack: unsupported {type(v)}")
+
+    enc(obj)
+    return bytes(out)
+
+
+def msgpack_decode(data: bytes, offset: int = 0):
+    """Decode ONE object; returns (obj, next_offset)."""
+    b = data[offset]
+    offset += 1
+    if b < 0x80:
+        return b, offset
+    if b >= 0xE0:
+        return b - 256, offset
+    if 0xA0 <= b <= 0xBF:
+        ln = b & 0x1F
+        return data[offset : offset + ln].decode(), offset + ln
+    if 0x90 <= b <= 0x9F:
+        ln = b & 0x0F
+        out = []
+        for _ in range(ln):
+            v, offset = msgpack_decode(data, offset)
+            out.append(v)
+        return out, offset
+    if b == 0xC0:
+        return None, offset
+    if b == 0xC2:
+        return False, offset
+    if b == 0xC3:
+        return True, offset
+    if b == 0xCB:
+        return struct.unpack_from(">d", data, offset)[0], offset + 8
+    if b == 0xD3:
+        return struct.unpack_from(">q", data, offset)[0], offset + 8
+    if b == 0xCC:
+        return data[offset], offset + 1
+    if b == 0xCD:
+        return struct.unpack_from(">H", data, offset)[0], offset + 2
+    if b == 0xCE:
+        return struct.unpack_from(">I", data, offset)[0], offset + 4
+    if b == 0xDB:
+        ln = struct.unpack_from(">I", data, offset)[0]
+        offset += 4
+        return data[offset : offset + ln].decode(), offset + ln
+    if b == 0xDD:
+        ln = struct.unpack_from(">I", data, offset)[0]
+        offset += 4
+        out = []
+        for _ in range(ln):
+            v, offset = msgpack_decode(data, offset)
+            out.append(v)
+        return out, offset
+    raise ValueError(f"msgpack: unsupported byte 0x{b:02x}")
+
+
+# ---------------------------------------------------------------------------
+# Minimal WebSocket framing
+# ---------------------------------------------------------------------------
+
+
+def _ws_send(sock: socket.socket, payload: bytes, opcode: int, mask: bool) -> None:
+    hdr = bytearray([0x80 | opcode])
+    n = len(payload)
+    mbit = 0x80 if mask else 0
+    if n < 126:
+        hdr.append(mbit | n)
+    elif n < 1 << 16:
+        hdr.append(mbit | 126)
+        hdr += struct.pack(">H", n)
+    else:
+        hdr.append(mbit | 127)
+        hdr += struct.pack(">Q", n)
+    if mask:
+        key = os.urandom(4)
+        hdr += key
+        payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+    sock.sendall(bytes(hdr) + payload)
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("socket closed")
+        buf += chunk
+    return buf
+
+
+def _ws_recv(sock: socket.socket):
+    """Returns (opcode, payload) of the next frame."""
+    h = _read_exact(sock, 2)
+    opcode = h[0] & 0x0F
+    masked = h[1] & 0x80
+    n = h[1] & 0x7F
+    if n == 126:
+        n = struct.unpack(">H", _read_exact(sock, 2))[0]
+    elif n == 127:
+        n = struct.unpack(">Q", _read_exact(sock, 8))[0]
+    key = _read_exact(sock, 4) if masked else None
+    payload = _read_exact(sock, n)
+    if key:
+        payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+    return opcode, payload
+
+
+# ---------------------------------------------------------------------------
+# Client
+# ---------------------------------------------------------------------------
+
+
+class NT4Client:
+    """Publish-oriented NT4 client.
+
+    Usage: ``NT4Client(server_ip).connect(); client.publish("/topic", 1.0)``.
+    Values are timestamped with the local monotonic microsecond clock (no
+    RTT sync in this minimal client; the robot-side consumer uses server
+    receipt ordering)."""
+
+    def __init__(self, host: str, port: int = NT_PORT,
+                 identity: str = "chalkydri-tpu"):
+        self.host, self.port = host, port
+        self.identity = identity
+        self._sock: Optional[socket.socket] = None
+        self._pubs: dict[str, int] = {}
+        self._next_uid = 1
+        self._lock = threading.Lock()
+        self._t0 = time.monotonic_ns()
+
+    def _now_us(self) -> int:
+        return (time.monotonic_ns() - self._t0) // 1000
+
+    def connect(self, timeout: float = 3.0) -> None:
+        sock = socket.create_connection((self.host, self.port), timeout=timeout)
+        key = base64.b64encode(os.urandom(16)).decode()
+        req = (
+            f"GET /nt/{self.identity} HTTP/1.1\r\n"
+            f"Host: {self.host}:{self.port}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\n"
+            f"Sec-WebSocket-Protocol: {NT_PROTOCOL}\r\n"
+            "Sec-WebSocket-Version: 13\r\n\r\n"
+        )
+        sock.sendall(req.encode())
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = sock.recv(4096)
+            if not chunk:
+                raise ConnectionError("handshake failed")
+            resp += chunk
+        if b"101" not in resp.split(b"\r\n", 1)[0]:
+            raise ConnectionError(f"handshake rejected: {resp[:100]!r}")
+        sock.settimeout(timeout)
+        self._sock = sock
+
+    def _announce_pub(self, topic: str, nt_type: str) -> int:
+        uid = self._next_uid
+        self._next_uid += 1
+        msg = [{"method": "publish",
+                "params": {"name": topic, "pubuid": uid, "type": nt_type,
+                           "properties": {}}}]
+        _ws_send(self._sock, json.dumps(msg).encode(), opcode=0x1, mask=True)
+        self._pubs[topic] = uid
+        return uid
+
+    def publish(self, topic: str, value: Any) -> None:
+        """Publish a double/bool/string value to a topic."""
+        if self._sock is None:
+            raise ConnectionError("not connected")
+        if isinstance(value, bool):
+            nt_type = "boolean"
+        elif isinstance(value, (int, float)):
+            nt_type, value = "double", float(value)
+        elif isinstance(value, str):
+            nt_type = "string"
+        else:
+            raise TypeError(f"unsupported NT value {type(value)}")
+        with self._lock:
+            uid = self._pubs.get(topic) or self._announce_pub(topic, nt_type)
+            payload = msgpack_encode(
+                [uid, self._now_us(), NT_TYPES[nt_type], value]
+            )
+            _ws_send(self._sock, payload, opcode=0x2, mask=True)
+
+    def set_many(self, values: dict[str, Any]) -> None:
+        for k, v in values.items():
+            self.publish(k, v)
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                _ws_send(self._sock, b"", opcode=0x8, mask=True)
+            except OSError:
+                pass
+            self._sock.close()
+            self._sock = None
+
+
+# ---------------------------------------------------------------------------
+# Loopback server (test double; reference: tools/ntserver.py)
+# ---------------------------------------------------------------------------
+
+
+class MiniNTServer:
+    """Accepts NT4 clients and records published values."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, port))
+        self._srv.listen(4)
+        self.port = self._srv.getsockname()[1]
+        self.topics: dict[int, str] = {}
+        self.values: dict[str, Any] = {}
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._accept_loop, daemon=True)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def _accept_loop(self):
+        self._srv.settimeout(0.2)
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._srv.accept()
+            except socket.timeout:
+                continue
+            threading.Thread(
+                target=self._client_loop, args=(conn,), daemon=True
+            ).start()
+        self._srv.close()
+
+    def _client_loop(self, conn: socket.socket):
+        try:
+            req = b""
+            while b"\r\n\r\n" not in req:
+                chunk = conn.recv(4096)
+                if not chunk:
+                    return
+                req += chunk
+            key = ""
+            for line in req.decode(errors="replace").split("\r\n"):
+                if line.lower().startswith("sec-websocket-key:"):
+                    key = line.split(":", 1)[1].strip()
+            accept = base64.b64encode(
+                hashlib.sha1((key + _WS_GUID).encode()).digest()
+            ).decode()
+            conn.sendall(
+                (
+                    "HTTP/1.1 101 Switching Protocols\r\n"
+                    "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                    f"Sec-WebSocket-Accept: {accept}\r\n"
+                    f"Sec-WebSocket-Protocol: {NT_PROTOCOL}\r\n\r\n"
+                ).encode()
+            )
+            conn.settimeout(0.2)
+            while not self._stop.is_set():
+                try:
+                    opcode, payload = _ws_recv(conn)
+                except socket.timeout:
+                    continue
+                except (ConnectionError, OSError):
+                    return
+                if opcode == 0x8:  # close
+                    return
+                if opcode == 0x1:  # text: publish announcements
+                    for msg in json.loads(payload.decode()):
+                        if msg.get("method") == "publish":
+                            p = msg["params"]
+                            with self._lock:
+                                self.topics[p["pubuid"]] = p["name"]
+                elif opcode == 0x2:  # binary: value
+                    uid, ts, vtype, value = msgpack_decode(payload)[0]
+                    with self._lock:
+                        name = self.topics.get(uid, f"uid{uid}")
+                        self.values[name] = value
+        finally:
+            conn.close()
+
+    def stop(self):
+        self._stop.set()

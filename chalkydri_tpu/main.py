@@ -1,0 +1,79 @@
+"""chalkydri-tpu entrypoint.
+
+Port of the reference main (``/root/reference/crates/chalkydri/src/main.rs:
+49-114``): banner, TOML config with /boot -> /etc -> ./ fallback, graph load
+(RON), unified logger, app loop. The Pi-specific kernel-module eviction and
+GStreamer init have no TPU equivalents; device init is JAX backend init.
+
+Run:  python -m chalkydri_tpu.main [--graph chalkydri.ron] [--config path]
+      [--iters N] [--rate HZ] [--log chalkydri.ctlog]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+BANNER = r"""
+        chalkydri-tpu
+   multi-camera AprilTag vision on TPU
+"""
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="chalkydri-tpu", description=__doc__)
+    p.add_argument("--graph", default="chalkydri.ron", help="RON task graph")
+    p.add_argument("--config", default=None, help="TOML config path")
+    p.add_argument("--field", default=None, help="field.json path")
+    p.add_argument("--iters", type=int, default=None, help="stop after N iterations")
+    p.add_argument("--rate", type=float, default=None, help="iteration rate cap (Hz)")
+    p.add_argument("--log", default=None, help="unified log output path")
+    p.add_argument("--no-synthetic", action="store_true",
+                   help="fail instead of synthesizing frames for absent cameras")
+    args = p.parse_args(argv)
+
+    print(BANNER, file=sys.stderr)
+
+    from chalkydri_tpu.io.config import Cfg, Config
+    from chalkydri_tpu.runtime.graph import TaskGraph
+    from chalkydri_tpu.runtime.logging import UnifiedLogger
+    from chalkydri_tpu.runtime.app import App
+    from chalkydri_tpu.io.camera import PROVIDER
+
+    # Config: explicit path or the reference's fallback chain (main.rs:76-87).
+    config = Config.load(args.config) if args.config else Config.load_with_fallback()
+    Cfg.write(config)
+
+    graph = TaskGraph.load(args.graph)
+
+    layout = None
+    if args.field:
+        import jax.numpy as jnp
+
+        from chalkydri_tpu.geometry.field_layout import load_field_layout
+
+        layout = load_field_layout(args.field, dtype=jnp.float32)
+
+    logger = UnifiedLogger(args.log, meta={"graph": args.graph}) if args.log else None
+
+    PROVIDER.start()
+    app = App(
+        graph,
+        field_layout=layout,
+        team_number=config.team_number,
+        synthetic_cameras=not args.no_synthetic,
+        logger=logger,
+    )
+    try:
+        app.run(max_iters=args.iters, rate_hz=args.rate)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if logger:
+            logger.close()
+        PROVIDER.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,293 @@
+"""The application runtime: graph -> fused batched execution loop.
+
+Replaces the reference's compile-time Copper app (``#[copper_runtime]``,
+``crates/chalkydri/src/main.rs:45-46``) with a runtime-loaded graph and the
+TPU execution model from SURVEY.md section 1: the per-camera chains
+(CamPipeline -> GstToCuImage -> AprilTags) collapse into ONE fused device
+launch per iteration, batched over cameras; remaining tasks (monitor,
+calibrator, adapters, custom subsystems) run as ordinary host tasks around
+it.
+
+Latency discipline parity (pipeline.rs:344-392, apriltags/src/lib.rs:293-379):
+- non-blocking latest-frame polls; a camera with no fresh frame simply does
+  not publish this iteration,
+- every frame carries its arrival Tov; the wire packet's ts field is the
+  detect-time latency ``now - tov`` in microseconds (lib.rs:351),
+- cameras with no detections heartbeat a zero pose at most every >5 ms
+  (lib.rs:365-376).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from chalkydri_tpu.io.whacknet import Comm, RobotPose, VisionUncertainty
+from chalkydri_tpu.runtime.clock import RobotClock, Stamped, Tov
+from chalkydri_tpu.runtime.graph import TaskGraph
+from chalkydri_tpu.runtime.tasks import REGISTRY, ResourceManager
+
+FUSED_SINK_TYPES = {"AprilTags", "chalkydri_apriltags::AprilTags"}
+CAMERA_TYPES = {"CamPipeline"}
+CONVERT_TYPES = {"GstToCuImage"}
+HEARTBEAT_MS = 5  # apriltags/src/lib.rs:367
+
+
+@dataclass
+class FusedChain:
+    """One camera chain folded into the batch."""
+
+    camera: "object"  # CamPipeline (imported lazily to avoid a cycle)
+    sink_cfg: dict
+    cam_id: int
+    batch_index: int
+    last_frame: Optional[np.ndarray] = None
+    last_tov: Optional[int] = None
+    fresh: bool = False
+    last_heartbeat_ms: Optional[int] = None
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class App:
+    """Build from a TaskGraph (RON surface) + runtime Config.
+
+    Mirrors ``App::new(clock, unified_logger)`` + ``run()`` /
+    ``run_one_iteration()`` (main.rs:108-111; the calibration driver uses
+    run_one_iteration, configurator/src/main.rs:401-406).
+    """
+
+    def __init__(
+        self,
+        graph: TaskGraph,
+        field_layout=None,
+        clock: Optional[RobotClock] = None,
+        comm: Optional[Comm] = None,
+        synthetic_cameras: bool = True,
+        team_number: Optional[int] = None,
+        logger=None,
+        detector_kwargs: Optional[dict] = None,
+    ):
+        import jax.numpy as jnp
+
+        from chalkydri_tpu.geometry.field_layout import FieldLayout, load_field_layout
+        from chalkydri_tpu.io.camera import CamPipeline
+        from chalkydri_tpu.pipeline import build_rig_from_config, make_vision_pipeline
+
+        self.graph = graph
+        self.clock = clock or RobotClock()
+        self.logger = logger
+        self.resources = ResourceManager()
+
+        # -- resources (CommBundle parity, whacknet/src/lib.rs:187-202) -----
+        for decl in graph.resources:
+            if decl.provider.endswith("CommBundle"):
+                c = comm or Comm(team_number=team_number)
+                self.resources.add(f"{decl.id}.comm", c)
+        self._comm = comm
+        for decl in graph.resources:
+            key = f"{decl.id}.comm"
+            try:
+                self._comm = self.resources.get(key)
+                break
+            except KeyError:
+                pass
+        if self._comm is None:
+            self._comm = comm or Comm(team_number=team_number)
+            self.resources.add("comm.comm", self._comm)
+
+        # -- split chains: fused vision vs generic host tasks ----------------
+        self.fused_chains: list[FusedChain] = []
+        fused_task_ids: set[str] = set()
+        for chain in graph.chains():
+            nodes = [graph.node(i) for i in chain]
+            if nodes and nodes[0].type in CAMERA_TYPES and nodes[-1].type in FUSED_SINK_TYPES:
+                cam_node, sink_node = nodes[0], nodes[-1]
+                cam = CamPipeline(cam_node.config, synthetic_ok=synthetic_cameras)
+                self.fused_chains.append(
+                    FusedChain(
+                        camera=cam,
+                        sink_cfg=sink_node.config,
+                        cam_id=int(sink_node.config.get("cam_id", 255)),
+                        batch_index=len(self.fused_chains),
+                    )
+                )
+                fused_task_ids.update(chain)
+
+        # -- generic tasks ----------------------------------------------------
+        self.tasks: dict[str, object] = {}
+        for node in graph.tasks:
+            if node.id in fused_task_ids:
+                continue
+            try:
+                cls = REGISTRY.resolve(node.type)
+            except KeyError:
+                continue  # unknown host task types are skipped, not fatal
+            self.tasks[node.id] = cls(config=node.config, resources=self.resources)
+        self._order = [t for t in graph.topo_order() if t in self.tasks]
+        self._inbox: dict[str, Stamped] = {}
+
+        # -- fused device program --------------------------------------------
+        self.step = None
+        self._frames_buf = None
+        if self.fused_chains:
+            if field_layout is None:
+                field_layout = load_field_layout(dtype=jnp.float32)
+            cams_cfg = []
+            ws, hs = [], []
+            for ch in self.fused_chains:
+                cams_cfg.append(
+                    {
+                        "calib": ch.sink_cfg.get("calib"),
+                        "robot_to_cam": ch.sink_cfg.get("robot_to_cam"),
+                    }
+                )
+                ws.append(int(ch.camera.width or 640))
+                hs.append(int(ch.camera.height or 480))
+            self.frame_w = _round_up(max(ws), 8)
+            self.frame_h = _round_up(max(hs), 8)
+            params, rc = build_rig_from_config(cams_cfg, field_layout)
+            family = str(
+                self.fused_chains[0].sink_cfg.get("family", "tag36h11")
+            )
+            bits = int(self.fused_chains[0].sink_cfg.get("bits_corrected", 3))
+            self.step = make_vision_pipeline(
+                field_layout, params, rc, family=family, bits_corrected=bits,
+                detector_kwargs=detector_kwargs,
+            )
+            b = len(self.fused_chains)
+            # Neutral fill 127 thresholds to 'skip' everywhere (no contrast).
+            self._frames_buf = np.full(
+                (b, self.frame_h, self.frame_w), 127, np.uint8
+            )
+
+        self._started = False
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start_all_tasks(self) -> None:
+        for ch in self.fused_chains:
+            ch.camera.start(self.clock)
+        for t in self.tasks.values():
+            t.start(self.clock)
+        self._started = True
+
+    def stop_all_tasks(self) -> None:
+        for ch in self.fused_chains:
+            ch.camera.stop(self.clock)
+        for t in self.tasks.values():
+            t.stop(self.clock)
+        self._started = False
+
+    # -- iteration -----------------------------------------------------------
+
+    def _poll_cameras(self) -> None:
+        for ch in self.fused_chains:
+            msg = ch.camera.process(self.clock)
+            if msg.payload is None:
+                ch.fresh = False
+                continue
+            frame = msg.payload
+            h = min(frame.shape[0], self.frame_h)
+            w = min(frame.shape[1], self.frame_w)
+            buf = self._frames_buf[ch.batch_index]
+            buf[:] = 127
+            buf[:h, :w] = frame[:h, :w]
+            ch.last_tov = msg.tov.time_us
+            ch.fresh = True
+            if self.logger is not None:
+                self.logger.log_frame(ch.cam_id, msg.tov.time_us, frame)
+
+    def _publish(self, ch: FusedChain, out, b: int) -> None:
+        now_ms = self.clock.now_ms()
+        latency_us = (
+            self.clock.now_us() - ch.last_tov if ch.last_tov is not None else 0
+        )
+        valid = bool(out.pose_valid[b]) if out is not None else False
+        if valid and ch.fresh:
+            pose = RobotPose(
+                float(out.pose_x[b]), float(out.pose_y[b]), float(out.pose_yaw[b])
+            )
+            std = VisionUncertainty(
+                float(out.std_devs[b][0]),
+                float(out.std_devs[b][1]),
+                float(out.std_devs[b][2]),
+            )
+            self._comm.publish(
+                ch.cam_id, int(out.tag_count[b]), latency_us, pose, std
+            )
+            if self.logger is not None:
+                self.logger.log_pose(ch.cam_id, latency_us, pose, std)
+            return
+        # Heartbeat: zero pose at most every >5 ms (lib.rs:365-376).
+        if ch.last_heartbeat_ms is None or now_ms - ch.last_heartbeat_ms > HEARTBEAT_MS:
+            self._comm.publish(
+                ch.cam_id, 0, latency_us, RobotPose(), VisionUncertainty()
+            )
+            ch.last_heartbeat_ms = now_ms
+
+    def run_one_iteration(self) -> Optional[object]:
+        """One scheduler tick. Returns the fused VisionOutput (or None)."""
+        import jax.numpy as jnp
+
+        if not self._started:
+            self.start_all_tasks()
+
+        out = None
+        if self.step is not None:
+            self._poll_cameras()
+            any_fresh = any(ch.fresh for ch in self.fused_chains)
+            if any_fresh:
+                gyro_val = self._comm.gyro_angle()
+                gyro = np.full(
+                    len(self.fused_chains), gyro_val or 0.0, np.float32
+                )
+                out = self.step(jnp.asarray(self._frames_buf), jnp.asarray(gyro))
+            for b, ch in enumerate(self.fused_chains):
+                self._publish(ch, out, b)
+
+        # Generic host tasks in topological order.
+        from chalkydri_tpu.io.camera import CamPipeline
+        from chalkydri_tpu.runtime.tasks import SrcTask
+
+        for tid in self._order:
+            task = self.tasks[tid]
+            preds = self.graph.predecessors(tid)
+            if not preds:
+                if not isinstance(task, (SrcTask, CamPipeline)):
+                    continue  # sink with no producer: nothing to do
+                msg = task.process(self.clock)
+            else:
+                msg = self._inbox.get(tid)
+                if msg is None:
+                    continue
+                msg = task.process(self.clock, msg)
+                self._inbox.pop(tid, None)
+            if msg is not None:
+                for succ in self.graph.successors(tid):
+                    self._inbox[succ] = msg
+        return out
+
+    def run(self, max_iters: Optional[int] = None, rate_hz: Optional[float] = None):
+        """The Copper loop (main.rs:111). ``rate_hz`` caps iteration rate
+        like the capriltags ``max_frame_rate`` config
+        (chalkydri_core/src/config.rs:157)."""
+        n = 0
+        period = 1.0 / rate_hz if rate_hz else 0.0
+        try:
+            while max_iters is None or n < max_iters:
+                t0 = time.monotonic()
+                self.run_one_iteration()
+                n += 1
+                if period:
+                    dt = time.monotonic() - t0
+                    if dt < period:
+                        time.sleep(period - dt)
+        finally:
+            self.stop_all_tasks()

@@ -1,0 +1,185 @@
+"""Runtime tests: graph loading (reference RON files), task registry, app
+loop with synthetic cameras + UDP loopback, unified log record/replay."""
+
+import os
+import socket
+import struct
+
+import numpy as np
+import pytest
+
+from chalkydri_tpu.io.whacknet import Comm, decode_measurement
+from chalkydri_tpu.runtime import (
+    REGISTRY,
+    App,
+    RobotClock,
+    Stamped,
+    TaskGraph,
+    Tov,
+    UnifiedLogger,
+    read_log,
+)
+
+REF_GRAPH = "/root/reference/chalkydri.ron"
+
+
+class TestGraph:
+    def test_load_reference_graph(self):
+        if not os.path.exists(REF_GRAPH):
+            pytest.skip("reference graph unavailable")
+        g = TaskGraph.load(REF_GRAPH)
+        assert len(g.tasks) == 9
+        assert len(g.edges) == 6
+        assert g.resources[0].provider == "whacknet::CommBundle"
+        assert not g.enable_task_logging
+        # three camera chains, each CamPipeline -> GstToCuImage -> AprilTags
+        chains = g.chains()
+        assert len(chains) == 3
+        for c in chains:
+            assert len(c) == 3
+            assert g.node(c[0]).type == "CamPipeline"
+            assert g.node(c[-1]).type == "chalkydri_apriltags::AprilTags"
+
+    def test_validation_rejects_bad_edges(self):
+        with pytest.raises(ValueError):
+            TaskGraph.from_dict(
+                {
+                    "tasks": [{"id": "a", "type": "CamPipeline"}],
+                    "cnx": [{"src": "a", "dst": "nope"}],
+                }
+            )
+
+    def test_validation_rejects_cycles(self):
+        with pytest.raises(ValueError):
+            TaskGraph.from_dict(
+                {
+                    "tasks": [
+                        {"id": "a", "type": "X"},
+                        {"id": "b", "type": "Y"},
+                    ],
+                    "cnx": [
+                        {"src": "a", "dst": "b"},
+                        {"src": "b", "dst": "a"},
+                    ],
+                }
+            )
+
+    def test_roundtrip_dumps(self):
+        if not os.path.exists(REF_GRAPH):
+            pytest.skip("reference graph unavailable")
+        g = TaskGraph.load(REF_GRAPH)
+        g2 = TaskGraph.loads(g.dumps())
+        assert [t.id for t in g2.tasks] == [t.id for t in g.tasks]
+        assert g2.node("apriltags_back").config["cam_id"] == 1
+
+    def test_registry_aliases(self):
+        cls = REGISTRY.resolve("chalkydri::subsystems::calibration::Calibrator")
+        assert cls.__name__ == "Calibrator"
+        assert REGISTRY.resolve("Monitor").__name__ == "Monitor"
+
+
+def _mini_graph(n_cams=2, w=320, h=240):
+    tasks = []
+    cnx = []
+    for i in range(n_cams):
+        tasks += [
+            {"id": f"camera_{i}", "type": "CamPipeline",
+             "config": {"id": f"missing-dev-{i}", "name": f"c{i}",
+                        "width": w, "height": h}},
+            {"id": f"apriltags_{i}", "type": "chalkydri_apriltags::AprilTags",
+             "config": {"cam_id": i,
+                        "calib": '{"OpenCVModel5": {"fx": 300, "fy": 300, "cx": 160, "cy": 120, "k1": 0, "k2": 0, "p1": 0, "p2": 0, "k3": 0, "width": 320, "height": 240}}',
+                        "robot_to_cam": '{"roll": 0, "pitch": 0, "yaw": 0, "x": 0, "y": 0, "z": 0.5}'}},
+        ]
+        cnx.append({"src": f"camera_{i}", "dst": f"apriltags_{i}",
+                    "msg": "frame"})
+    return TaskGraph.from_dict(
+        {"tasks": tasks, "cnx": cnx,
+         "resources": [{"id": "comm", "provider": "whacknet::CommBundle"}]}
+    )
+
+
+@pytest.fixture
+def tiny_layout():
+    import jax.numpy as jnp
+
+    from chalkydri_tpu.geometry.field_layout import parse_field_layout
+
+    tags = [
+        {"ID": t, "pose": {"translation": {"x": 10, "y": 4, "z": 1},
+                           "rotation": {"quaternion": {"W": 0, "X": 0, "Y": 0, "Z": 1}}}}
+        for t in (3, 4)
+    ]
+    return parse_field_layout({"tags": tags, "field": {"length": 16, "width": 8}},
+                              dtype=jnp.float32)
+
+
+class TestAppLoop:
+    def test_synthetic_end_to_end(self, tiny_layout):
+        """Two synthetic cameras -> fused step -> UDP packets on loopback.
+
+        The synthetic scene's tags aren't at their field positions, so poses
+        are heartbeats/invalid — the contract here is the full loop: capture,
+        batched detect, publish path, packet format."""
+        port = 17990
+        rio = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        rio.bind(("127.0.0.1", port))
+        rio.settimeout(5.0)
+
+        comm = Comm(remote_addr="127.0.0.1", remote_port=port,
+                    gyro_port=port + 1, use_native=False)
+        app = App(
+            _mini_graph(), field_layout=tiny_layout, comm=comm,
+            detector_kwargs=dict(max_edge_points=8192, max_clusters=16,
+                                 cluster_points=256),
+        )
+        try:
+            app.start_all_tasks()
+            out = None
+            for _ in range(10):
+                out = app.run_one_iteration() or out
+            assert out is not None, "no fused output produced"
+            # Synthetic scenes contain renderable tags: they must be detected.
+            counts = np.asarray(out.detections.valid).sum(axis=-1)
+            assert counts.max() >= 1
+            data, _ = rio.recvfrom(64)
+            pose, std, ts, cam, n = decode_measurement(data)
+            assert cam in (0, 1)
+        finally:
+            app.stop_all_tasks()
+            comm.close()
+            rio.close()
+
+    def test_graph_without_cameras_runs(self):
+        g = TaskGraph.from_dict(
+            {"tasks": [{"id": "m", "type": "Monitor"}], "cnx": []}
+        )
+        app = App(g, comm=Comm(remote_addr="127.0.0.1", remote_port=18500,
+                               gyro_port=18501, use_native=False))
+        app.run_one_iteration()
+        app.stop_all_tasks()
+
+
+class TestUnifiedLog:
+    def test_record_replay_roundtrip(self, tmp_path):
+        from chalkydri_tpu.io.whacknet import RobotPose, VisionUncertainty
+
+        path = str(tmp_path / "t.ctlog")
+        log = UnifiedLogger(path, meta={"test": True})
+        frame = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        log.log_frame(2, 1234, frame)
+        log.log_pose(2, 777, RobotPose(1, 2, 0.5), VisionUncertainty(0.1, 0.1, 0.2))
+        log.close()
+
+        recs = list(read_log(path))
+        assert recs[0]["kind"] == "meta" and recs[0]["meta"]["test"] is True
+        assert recs[1]["kind"] == "frame" and recs[1]["cam_id"] == 2
+        np.testing.assert_array_equal(recs[1]["frame"], frame)
+        assert recs[2]["kind"] == "pose"
+        assert recs[2]["pose"].x == 1 and recs[2]["tag_count"] == 0
+
+    def test_rejects_garbage(self, tmp_path):
+        p = tmp_path / "bad.ctlog"
+        p.write_bytes(b"not a log")
+        with pytest.raises(ValueError):
+            list(read_log(str(p)))

@@ -1,0 +1,119 @@
+"""Tools & subsystems tests: configurator generate, AAEC, custom subsystems,
+ML hook, update scan."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+class TestConfiguratorGenerate:
+    def test_generate_graph_roundtrip(self, tmp_path, monkeypatch):
+        from chalkydri_tpu.runtime.graph import TaskGraph
+        from chalkydri_tpu.tools.configurator import (
+            CamConfigEntry,
+            ConfiguratorState,
+            generate_graph,
+            main,
+        )
+
+        state = ConfiguratorState()
+        e = CamConfigEntry(name="front", device_id="usb-0:1:1.0",
+                           width=1600, height=1304, cam_id=0,
+                           calib='{"OpenCVModel5": {"fx": 1, "fy": 1, "cx": 0, "cy": 0, "k1": 0, "k2": 0, "p1": 0, "p2": 0, "k3": 0}}')
+        state.put("front", e)
+        e2 = CamConfigEntry(name="back", device_id="usb-0:4:1.0", cam_id=1,
+                            robot_to_cam={"roll": 0, "pitch": 0, "yaw": 180.0,
+                                          "x": 0, "y": 0, "z": 0})
+        state.put("back", e2)
+
+        g = generate_graph(state)
+        # save_cuconfig parity: 3 nodes per camera + typed edges + comm
+        assert len(g.tasks) == 6
+        assert len(g.edges) == 4
+        assert g.resources[0].provider == "whacknet::CommBundle"
+        assert g.node("apriltags_back").config["cam_id"] == 1
+        assert json.loads(g.node("apriltags_back").config["robot_to_cam"])["yaw"] == 180.0
+
+        # serialized graph parses back and keeps the chain structure
+        g2 = TaskGraph.loads(g.dumps())
+        assert len(g2.chains()) == 2
+
+        # CLI flow: state file -> generate -> file
+        monkeypatch.chdir(tmp_path)
+        state.save("configurator.json")
+        assert main(["--state", "configurator.json", "generate",
+                     "--output", "out.ron"]) == 0
+        g3 = TaskGraph.load("out.ron")
+        assert [t.id for t in g3.tasks] == [t.id for t in g.tasks]
+
+
+class TestAaec:
+    def test_gradient_metric_prefers_contrast(self):
+        from chalkydri_tpu.subsystems.aaec import compute_exposure_gradients
+        import jax.numpy as jnp
+
+        flat = np.full((1, 64, 64), 100, np.uint8)
+        sharp = np.zeros((1, 64, 64), np.uint8)
+        sharp[0, :, 32:] = 255
+        g_flat = float(compute_exposure_gradients(jnp.asarray(flat))[0])
+        g_sharp = float(compute_exposure_gradients(jnp.asarray(sharp))[0])
+        assert g_sharp > g_flat + 1.0
+
+    def test_controller_hill_climb(self):
+        from chalkydri_tpu.subsystems.aaec import ExposureController
+
+        # Metric peaked at exposure 200; the controller must climb toward it.
+        ctrl = ExposureController(initial=100, step=10)
+        exp = ctrl.exposure
+        for _ in range(40):
+            metric = -abs(exp - 200.0)
+            exp = ctrl.update(metric)
+        assert 150 <= exp <= 250
+
+
+class TestCustomSubsys:
+    def test_run_and_values(self):
+        from chalkydri_tpu.runtime.clock import RobotClock, Stamped, Tov
+        from chalkydri_tpu.subsystems.custom import PythonSubsys
+
+        code = "def run(frame):\n    return {'mean': float(frame.mean())}\n"
+        t = PythonSubsys(config={"name": "demo", "code": code})
+        t.process(RobotClock(), Stamped(np.full((4, 4), 10, np.uint8), Tov(0)))
+        assert t.last_values == {"mean": 10.0}
+
+    def test_bad_code_rejected(self):
+        from chalkydri_tpu.subsystems.custom import load_subsystem
+
+        with pytest.raises(ValueError):
+            load_subsystem("x", "y = 1\n")
+
+
+class TestMlSubsys:
+    def test_attach_and_run(self):
+        import jax.numpy as jnp
+
+        from chalkydri_tpu.runtime.clock import RobotClock, Stamped, Tov
+        from chalkydri_tpu.subsystems.ml import MlSubsys
+
+        t = MlSubsys()
+        t.attach(lambda frame: jnp.mean(frame.astype(jnp.float32)))
+        t.process(RobotClock(), Stamped(np.full((8, 8), 4, np.uint8), Tov(0)))
+        assert float(t.last_output) == 4.0
+
+
+class TestUpdate:
+    def test_scan_and_stage(self, tmp_path):
+        from chalkydri_tpu.utils.update import scan_for_updates, stage_update
+
+        pkg = tmp_path / "usb" / "chalkydri-update"
+        pkg.mkdir(parents=True)
+        (pkg / "manifest.json").write_text(
+            json.dumps({"version": "1.2.0", "description": "test"})
+        )
+        (pkg / "payload.bin").write_bytes(b"x" * 10)
+        found = scan_for_updates([str(tmp_path)])
+        assert len(found) == 1 and found[0].version == "1.2.0"
+        staged = stage_update(found[0], str(tmp_path / "staging"))
+        assert os.path.exists(os.path.join(staged, "payload.bin"))
