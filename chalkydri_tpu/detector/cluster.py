@@ -7,19 +7,23 @@ white pixel contributes a boundary point at the doubled-coordinate edge
 midpoint with a gradient direction; points are grouped by the *pair* of
 component labels on either side, so each tag border yields one cluster.
 
-TPU re-design (fixed shapes throughout, SURVEY.md section 7.3 'variable-size
-intermediates'):
+TPU re-design (fixed shapes, and — critically — no large scatters/gathers,
+which cost ~25-35 ms per 4M elements on v5e while 4M sorts cost ~6 ms):
 
-- candidate edges are enumerated densely (4 directions x H x W boolean
-  masks),
-- compacted into a fixed-capacity point buffer via cumsum + scatter,
-- sorted by (black label, white label) with a single key sort,
-- run-length segmented; the top-K segments by population become the cluster
-  set, each padded/truncated to P points.
+- candidate edges are enumerated densely (4 directions x H x W masks),
+- each candidate's position+direction is PACKED into one int32 payload,
+- two stable multi-operand ``lax.sort`` passes order candidates by
+  (black label, white label), with invalid candidates keyed to INT32_MAX so
+  they sink to the tail — sorting IS the compaction,
+- the head of the sorted array is sliced to a fixed capacity, run-length
+  segmented, and the top-K segments by population become the cluster set,
+- a stencil "speckle gate" (both sides of an edge must have >= 2
+  same-valued 8-neighbors) replaces libapriltag's union-find blob-size gate:
+  same purpose (keep noise blobs from crowding the capacity), no
+  scatter-add.
 
 Capacities (MAX_CLUSTERS, MAX_CLUSTER_POINTS, MAX_EDGE_POINTS) are static;
-overflow drops the smallest clusters first, matching the spirit of
-MAX_DETECTIONS=16 (crates/apriltags/src/lib.rs:42).
+overflow drops points from the largest-label clusters first.
 """
 
 from __future__ import annotations
@@ -30,16 +34,17 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-MAX_EDGE_POINTS = 1 << 16  # per frame, before clustering
+MAX_EDGE_POINTS = 1 << 16  # per frame, after sorting/compaction
 MAX_CLUSTERS = 64  # candidate quads per frame
 MAX_CLUSTER_POINTS = 512  # boundary points kept per cluster
 MIN_CLUSTER_POINTS = 24  # smaller clusters can't be a tag border
-MIN_BLOB_PIXELS = 25  # both blobs must be at least this big (libapriltag's
-#                       gradient_clusters size gate; kills noise speckle)
+MIN_SAME_NEIGHBORS = 2  # speckle gate (see module docstring)
+
+_INT_MAX = jnp.iinfo(jnp.int32).max
 
 
 class Clusters(NamedTuple):
-    # Per cluster, per point: x, y in DOUBLED pixel coords; gx, gy gradient.
+    # Per cluster, per point: x, y in pixel coords; gx, gy gradient.
     points: jax.Array  # [K, P, 4] float32
     mask: jax.Array  # [K, P] bool
     count: jax.Array  # [K] int32 (true population, may exceed P)
@@ -62,49 +67,69 @@ def _shift(x, dy, dx, fill):
     return out
 
 
+def _same_neighbor_count(tern: jax.Array) -> jax.Array:
+    """For each pixel, how many of its 8 neighbors share its ternary value."""
+    count = jnp.zeros(tern.shape, jnp.int32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nv = _shift(tern, dy, dx, jnp.uint8(127))
+            count = count + (nv == tern)
+    return count
+
+
+def _pack_payload(x2, y2, dir_idx, p_is_white):
+    """Pack (x2: 13 bits, y2: 13 bits, dir: 2 bits, side: 1 bit) into int32."""
+    return (
+        (x2 & 0x1FFF)
+        | ((y2 & 0x1FFF) << 13)
+        | ((dir_idx & 0x3) << 26)
+        | (jnp.where(p_is_white, 1, 0) << 28)
+    ).astype(jnp.int32)
+
+
+def _unpack_payload(p):
+    x2 = p & 0x1FFF
+    y2 = (p >> 13) & 0x1FFF
+    dir_idx = (p >> 26) & 0x3
+    p_white = (p >> 28) & 0x1
+    return x2, y2, dir_idx, p_white
+
+
+_DIR_DX = jnp.array([d[1] for d in _DIRS], jnp.int32)
+_DIR_DY = jnp.array([d[0] for d in _DIRS], jnp.int32)
+
+
 def extract_boundary_points(tern: jax.Array, labels: jax.Array):
     """Dense boundary-point enumeration for ONE frame.
 
-    Args:
-      tern: [H, W] uint8, labels: [H, W] int32.
-
-    Returns:
-      (black_lab, white_lab, x2, y2, gx, gy, mask) each [4*H*W] flattened —
-      mask marks real boundary points.
+    Returns (black_lab, white_lab, payload) each [4*H*W] int32; invalid
+    candidates have black_lab == white_lab == INT32_MAX.
     """
     h, w = tern.shape
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    solid = _same_neighbor_count(tern) >= MIN_SAME_NEIGHBORS
 
-    blacks, whites, x2s, y2s, gxs, gys, masks = [], [], [], [], [], [], []
-    for dy, dx in _DIRS:
+    blacks, whites, payloads = [], [], []
+    for di, (dy, dx) in enumerate(_DIRS):
         nv = _shift(tern, dy, dx, jnp.uint8(127))
         nl = _shift(labels, dy, dx, jnp.int32(0))
-        # one side black (0), other white (255)
+        nsolid = _shift(solid, dy, dx, False)
         pair_sum = tern.astype(jnp.int32) + nv.astype(jnp.int32)
-        is_edge = pair_sum == 255
+        is_edge = (pair_sum == 255) & solid & nsolid
         p_is_white = tern == 255
         black_lab = jnp.where(p_is_white, nl, labels)
         white_lab = jnp.where(p_is_white, labels, nl)
-        # Doubled coords of the midpoint between p=(x,y) and q=(x+dx,y+dy).
-        x2 = 2 * xs + dx
-        y2 = 2 * ys + dy
-        # Gradient points from black toward white.
-        sign = jnp.where(p_is_white, -1, 1)  # q white -> +d, p white -> -d
-        gx = sign * dx
-        gy = sign * dy
+        black_lab = jnp.where(is_edge, black_lab, _INT_MAX)
+        white_lab = jnp.where(is_edge, white_lab, _INT_MAX)
+        payload = _pack_payload(2 * xs + dx, 2 * ys + dy, di, p_is_white)
         blacks.append(black_lab.reshape(-1))
         whites.append(white_lab.reshape(-1))
-        x2s.append(x2.reshape(-1))
-        y2s.append(y2.reshape(-1))
-        gxs.append(gx.reshape(-1))
-        gys.append(gy.reshape(-1))
-        masks.append(is_edge.reshape(-1))
-    cat = lambda xs: jnp.concatenate(xs)
-    return (
-        cat(blacks), cat(whites), cat(x2s), cat(y2s),
-        cat(gxs), cat(gys), cat(masks),
-    )
+        payloads.append(payload.reshape(-1))
+    cat = jnp.concatenate
+    return cat(blacks), cat(whites), cat(payloads)
 
 
 @partial(
@@ -120,77 +145,59 @@ def gradient_clusters(
     min_points: int = MIN_CLUSTER_POINTS,
 ) -> Clusters:
     """Cluster boundary points for ONE frame ([H, W] inputs); vmap over batch."""
-    h, w = tern.shape
-    black, white, x2, y2, gx, gy, mask = extract_boundary_points(tern, labels)
-    n_dense = black.shape[0]
+    black, white, payload = extract_boundary_points(tern, labels)
 
-    # Blob-size gate: both sides of the edge must belong to blobs of at least
-    # MIN_BLOB_PIXELS pixels (libapriltag's gradient_clusters does the same
-    # via unionfind set sizes) — this drops noise speckle before it can crowd
-    # the fixed-capacity point buffer.
-    lab_flat = labels.reshape(-1)
-    lab_safe = jnp.where(lab_flat == jnp.iinfo(jnp.int32).max, h * w, lab_flat)
-    blob_size = jnp.zeros((h * w + 1,), jnp.int32).at[lab_safe].add(1)
-    big = lambda l: blob_size[jnp.clip(l, 0, h * w - 1)] >= MIN_BLOB_PIXELS
-    mask = mask & big(black) & big(white)
+    n = black.shape[0]
 
-    # --- compact to fixed capacity ----------------------------------------
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1  # position among real points
-    slot = jnp.where(mask & (pos < max_points), pos, max_points)  # drop tail
-    # +1 slack slot absorbs dropped entries.
-    def compact(v, fill):
-        buf = jnp.full((max_points + 1,), fill, v.dtype)
-        return buf.at[slot].set(v, mode="drop")[:max_points]
+    # --- sort by (black, white): two stable passes, payload rides along ----
+    white_s, black_s, payload_s = jax.lax.sort(
+        (white, black, payload), dimension=0, is_stable=True, num_keys=1
+    )
+    s_black, s_white, s_payload = jax.lax.sort(
+        (black_s, white_s, payload_s), dimension=0, is_stable=True, num_keys=1
+    )
+    s_valid = s_black != _INT_MAX
 
-    c_black = compact(black, jnp.int32(jnp.iinfo(jnp.int32).max))
-    c_white = compact(white, jnp.int32(jnp.iinfo(jnp.int32).max))
-    c_x2 = compact(x2, jnp.int32(0))
-    c_y2 = compact(y2, jnp.int32(0))
-    c_gx = compact(gx, jnp.int32(0))
-    c_gy = compact(gy, jnp.int32(0))
-    c_valid = compact(mask, False)
-
-    # --- sort by (black, white) pair --------------------------------------
-    # Single sort key: black * (H*W) + white fits in int64 only; instead use
-    # float64-free two-level trick: sort by white first (stable), then by
-    # black (stable) == lexsort. jnp.lexsort keys: last key is primary.
-    order = jnp.lexsort((c_white, c_black))
-    s_black = c_black[order]
-    s_white = c_white[order]
-    s_x2 = c_x2[order]
-    s_y2 = c_y2[order]
-    s_gx = c_gx[order]
-    s_gy = c_gy[order]
-    s_valid = c_valid[order]
-
-    # --- segment runs ------------------------------------------------------
+    # --- run-length segmentation with scans (no scatters, no capacity) -----
     prev_black = jnp.concatenate([jnp.array([-1], jnp.int32), s_black[:-1]])
     prev_white = jnp.concatenate([jnp.array([-1], jnp.int32), s_white[:-1]])
     new_seg = (s_black != prev_black) | (s_white != prev_white)
-    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1  # [N]
-    seg_id = jnp.where(s_valid, seg_id, max_points)  # invalid -> overflow seg
 
-    seg_count = jnp.zeros((max_points + 1,), jnp.int32).at[seg_id].add(1)
-    # scatter-min needs a +inf-like init, else every start collapses to 0.
-    seg_start = jnp.full((max_points + 1,), max_points, jnp.int32).at[seg_id].min(
-        jnp.arange(max_points, dtype=jnp.int32), mode="drop"
-    )
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # run start position for every element: forward cummax of starts
+    start_pos = jax.lax.cummax(jnp.where(new_seg, idx, -1))
+    # next run start AFTER every element: reversed cummin of starts
+    nxt = jnp.where(new_seg, idx, _INT_MAX)
+    next_start = jnp.flip(jax.lax.cummin(jnp.flip(nxt)))
+    next_start = jnp.concatenate([next_start[1:], jnp.array([n], jnp.int32)])
+    next_start = jnp.minimum(next_start, n)
+    run_len = next_start - start_pos
 
-    # --- top-K segments by population --------------------------------------
-    counts_real = seg_count[:max_points]
-    top_count, top_seg = jax.lax.top_k(counts_real, max_clusters)
-    top_start = seg_start[top_seg]
+    # --- top-K runs by population ------------------------------------------
+    score = jnp.where(new_seg & s_valid, run_len, 0)
+    top_count, top_start = jax.lax.top_k(score, max_clusters)
 
-    # --- gather fixed-size point windows -----------------------------------
+    # --- gather fixed-size point windows (small gathers: K x P) ------------
+    # Runs larger than the window are stride-subsampled across their whole
+    # extent (a truncated window would cover only the top of a big tag's
+    # boundary and starve the quad fitter's bottom edges).
     offs = jnp.arange(cluster_points, dtype=jnp.int32)[None, :]  # [1, P]
-    idx = top_start[:, None] + offs  # [K, P]
-    idx_c = jnp.clip(idx, 0, max_points - 1)
-    in_seg = (seg_id[idx_c] == top_seg[:, None]) & (idx < max_points)
+    cnt = top_count[:, None]
+    strided = top_start[:, None] + (offs * cnt) // cluster_points
+    direct = top_start[:, None] + offs
+    widx = jnp.where(cnt > cluster_points, strided, direct)  # [K, P]
+    idx_c = jnp.clip(widx, 0, n - 1)
+    in_seg = (offs < cnt) & (widx < n)
 
-    px = (s_x2[idx_c].astype(jnp.float32)) * jnp.float32(0.5)
-    py = (s_y2[idx_c].astype(jnp.float32)) * jnp.float32(0.5)
-    pgx = s_gx[idx_c].astype(jnp.float32)
-    pgy = s_gy[idx_c].astype(jnp.float32)
+    x2, y2, dir_idx, p_white = _unpack_payload(s_payload[idx_c])
+    dx = _DIR_DX[dir_idx]
+    dy = _DIR_DY[dir_idx]
+    sign = jnp.where(p_white == 1, -1, 1)  # gradient black -> white
+
+    px = x2.astype(jnp.float32) * jnp.float32(0.5)
+    py = y2.astype(jnp.float32) * jnp.float32(0.5)
+    pgx = (sign * dx).astype(jnp.float32)
+    pgy = (sign * dy).astype(jnp.float32)
     points = jnp.stack([px, py, pgx, pgy], axis=-1)
     points = jnp.where(in_seg[..., None], points, 0.0)
 

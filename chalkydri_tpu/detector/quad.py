@@ -145,8 +145,13 @@ def fit_quad(points: jax.Array, mask: jax.Array,
         aux = (jnp.stack(counts), jnp.stack(rmss))
         return corners, aux
 
-    corners, aux = jax.lax.scan(iteration, corners0, None, length=fit_iters)
-    counts, rmss = jax.tree.map(lambda x: x[-1], aux)
+    # Unrolled fixed iterations (a lax.scan here lowers to dynamic-slice
+    # bookkeeping that dominates this tiny per-cluster workload).
+    corners = corners0
+    aux = None
+    for _ in range(fit_iters):
+        corners, aux = iteration(corners, None)
+    counts, rmss = aux
 
     # --- orientation: make CCW in image coords (y down) -------------------
     # Signed area (shoelace); for y-down pixel coords, a tag's boundary
