@@ -166,16 +166,37 @@ def gradient_clusters(
     idx = jnp.arange(n, dtype=jnp.int32)
     # run start position for every element: forward cummax of starts
     start_pos = jax.lax.cummax(jnp.where(new_seg, idx, -1))
-    # next run start AFTER every element: reversed cummin of starts
+    # next run start AFTER every element: reverse cummin of starts
     nxt = jnp.where(new_seg, idx, _INT_MAX)
-    next_start = jnp.flip(jax.lax.cummin(jnp.flip(nxt)))
+    next_start = jax.lax.cummin(nxt, reverse=True)
     next_start = jnp.concatenate([next_start[1:], jnp.array([n], jnp.int32)])
     next_start = jnp.minimum(next_start, n)
     run_len = next_start - start_pos
 
     # --- top-K runs by population ------------------------------------------
+    # A flat top_k over 4M elements costs ~60 ms on v5e; a two-level scheme
+    # (per-chunk top-2, then top_k over the 2*n/C chunk winners) costs ~5 ms.
+    # Top-2 per chunk guards against two large runs starting in one chunk.
     score = jnp.where(new_seg & s_valid, run_len, 0)
-    top_count, top_start = jax.lax.top_k(score, max_clusters)
+    chunk = 256
+    pad = (-n) % chunk
+    if pad:
+        score_p = jnp.concatenate([score, jnp.zeros((pad,), score.dtype)])
+    else:
+        score_p = score
+    n_chunks = score_p.shape[0] // chunk
+    grid = score_p.reshape(n_chunks, chunk)
+    m1 = grid.max(axis=1)
+    a1 = grid.argmax(axis=1).astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, chunk), 1)
+    grid2 = jnp.where(col == a1[:, None], 0, grid)
+    m2 = grid2.max(axis=1)
+    a2 = grid2.argmax(axis=1).astype(jnp.int32)
+    base = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    cand_score = jnp.concatenate([m1, m2])
+    cand_pos = jnp.concatenate([base + a1, base + a2])
+    top_count, top_sel = jax.lax.top_k(cand_score, max_clusters)
+    top_start = cand_pos[top_sel]
 
     # --- gather fixed-size point windows (small gathers: K x P) ------------
     # Runs larger than the window are stride-subsampled across their whole

@@ -61,8 +61,9 @@ def make_detector(
     family: str | TagFamily = DEFAULT_FAMILY,
     bits_corrected: int = DEFAULT_BITS_CORRECTED,
     max_detections: int = MAX_DETECTIONS,
-    ccl_iters: int = 16,
+    ccl_iters: int = 12,
     refine: bool = True,
+    quad_decimate: int = 2,
     max_edge_points: int | None = None,
     max_clusters: int = MAX_CLUSTERS,
     cluster_points: int = MAX_CLUSTER_POINTS,
@@ -70,18 +71,34 @@ def make_detector(
     """Build a jitted ``detect(gray_batch) -> Detections``.
 
     Mirrors ``DetectorBuilder::add_family_bits(family, bits_corrected)``
-    (crates/apriltags/src/lib.rs:258-261). The capacity knobs trade peak
-    memory/compile size for dense-scene capacity (defaults suit megapixel
-    frames; dry-runs and tests shrink them).
+    (crates/apriltags/src/lib.rs:258-261). ``quad_decimate`` matches
+    libapriltag's same-named default (2): quad SEARCH (threshold, CCL,
+    clustering, quad fit) runs at half resolution — 4x less work in the
+    dominant stages — while edge refinement and payload decode sample the
+    full-resolution image, recovering sub-pixel corners. The capacity knobs
+    trade peak memory/compile size for dense-scene capacity.
     """
     from chalkydri_tpu.detector.cluster import MAX_EDGE_POINTS
 
     fam = load_family(family) if isinstance(family, str) else family
     decode = make_decoder(fam, bits_corrected=bits_corrected)
     edge_cap = MAX_EDGE_POINTS if max_edge_points is None else max_edge_points
+    assert quad_decimate in (1, 2), "quad_decimate must be 1 or 2"
 
     def detect_one(gray):
-        tern = adaptive_threshold(gray[None])[0]
+        if quad_decimate == 2:
+            h2 = (gray.shape[0] // 8) * 8  # keep tile alignment after /2
+            w2 = (gray.shape[1] // 8) * 8
+            g = gray[:h2, :w2]
+            small = (
+                g.reshape(h2 // 2, 2, w2 // 2, 2)
+                .astype(jnp.uint16)
+                .sum(axis=(1, 3))
+                // 4
+            ).astype(jnp.uint8)
+        else:
+            small = gray
+        tern = adaptive_threshold(small[None])[0]
         labels = label_components(tern[None], iters=ccl_iters)[0]
         clusters = gradient_clusters(
             tern, labels,
@@ -91,6 +108,10 @@ def make_detector(
         )
         quads = fit_quads(clusters.points, clusters.mask, clusters.valid)
         corners = quads.corners
+        if quad_decimate == 2:
+            # decimated pixel (i, j) is the mean of full pixels 2i..2i+1 x
+            # 2j..2j+1, i.e. its center sits at full coord 2*c + 0.5.
+            corners = corners * 2.0 + 0.5
         if refine:
             corners = refine_quads(gray, corners, quads.valid)
         dec = decode(gray, corners, quads.valid)  # [K] fields

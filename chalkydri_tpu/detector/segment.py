@@ -72,20 +72,21 @@ def _segmented_min_scan(labels: jax.Array, val: jax.Array, axis: int) -> jax.Arr
         v = jnp.where(bb, bv, jnp.minimum(av, bv))
         return v, ab | bb
 
-    def scan_dir(lab, v):
-        boundary = jnp.ones_like(v, dtype=bool)
-        same = v == jnp.roll(v, 1, axis=axis)
-        idx = [slice(None)] * v.ndim
-        idx[axis] = slice(1, None)
+    def boundary_mask(shift_dir: int):
+        # True where a new run starts, scanning in the given direction.
+        boundary = jnp.ones_like(val, dtype=bool)
+        same = val == jnp.roll(val, shift_dir, axis=axis)
+        idx = [slice(None)] * val.ndim
+        idx[axis] = slice(1, None) if shift_dir > 0 else slice(None, -1)
         boundary = boundary.at[tuple(idx)].set(~same[tuple(idx)])
-        out, _ = jax.lax.associative_scan(combine, (lab, boundary), axis=axis)
-        return out
+        return boundary
 
-    def flip(x):
-        return jnp.flip(x, axis=axis)
-
-    fwd = scan_dir(labels, val)
-    bwd = flip(scan_dir(flip(labels), flip(val)))
+    fwd, _ = jax.lax.associative_scan(
+        combine, (labels, boundary_mask(1)), axis=axis
+    )
+    bwd, _ = jax.lax.associative_scan(
+        combine, (labels, boundary_mask(-1)), axis=axis, reverse=True
+    )
     return jnp.minimum(fwd, bwd)
 
 
