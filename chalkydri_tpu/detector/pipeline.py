@@ -78,6 +78,8 @@ def make_detector(
     full-resolution image, recovering sub-pixel corners. The capacity knobs
     trade peak memory/compile size for dense-scene capacity.
     """
+    import os
+
     from chalkydri_tpu.detector.cluster import MAX_EDGE_POINTS
 
     fam = load_family(family) if isinstance(family, str) else family
@@ -85,21 +87,45 @@ def make_detector(
     edge_cap = MAX_EDGE_POINTS if max_edge_points is None else max_edge_points
     assert quad_decimate in (1, 2), "quad_decimate must be 1 or 2"
 
-    def detect_one(gray):
+    # CCL backend: the Pallas VMEM-resident kernel on TPU (9.6 ms vs 89 ms
+    # for the jnp path on a batch-4 half-res 1280x800 load, bit-identical);
+    # jnp elsewhere. CHALKYDRI_NO_PALLAS=1 forces the jnp path.
+    use_pallas = (
+        jax.devices()[0].platform not in ("cpu", "gpu")
+        and os.environ.get("CHALKYDRI_NO_PALLAS") != "1"
+    )
+    if use_pallas:
+        from chalkydri_tpu.ops.pallas.ccl_kernel import label_components_pallas
+
+        def label_fn(tern_batch):
+            return label_components_pallas(tern_batch, iters=ccl_iters)
+
+    else:
+
+        def label_fn(tern_batch):
+            return label_components(tern_batch, iters=ccl_iters)
+
+    def preprocess(gray_batch):
+        """Batch-level decimation + threshold + CCL (outside the per-frame
+        vmap so the Pallas kernel sees the whole batch as its grid)."""
         if quad_decimate == 2:
-            h2 = (gray.shape[0] // 8) * 8  # keep tile alignment after /2
-            w2 = (gray.shape[1] // 8) * 8
-            g = gray[:h2, :w2]
+            b = gray_batch.shape[0]
+            h2 = (gray_batch.shape[1] // 8) * 8
+            w2 = (gray_batch.shape[2] // 8) * 8
+            g = gray_batch[:, :h2, :w2]
             small = (
-                g.reshape(h2 // 2, 2, w2 // 2, 2)
+                g.reshape(b, h2 // 2, 2, w2 // 2, 2)
                 .astype(jnp.uint16)
-                .sum(axis=(1, 3))
+                .sum(axis=(2, 4))
                 // 4
             ).astype(jnp.uint8)
         else:
-            small = gray
-        tern = adaptive_threshold(small[None])[0]
-        labels = label_components(tern[None], iters=ccl_iters)[0]
+            small = gray_batch
+        tern = adaptive_threshold(small)
+        labels = label_fn(tern)
+        return tern, labels
+
+    def detect_one(gray, tern, labels):
         clusters = gradient_clusters(
             tern, labels,
             max_points=edge_cap,
@@ -152,6 +178,7 @@ def make_detector(
     @jax.jit
     def detect(gray_batch):
         """gray_batch: [B, H, W] uint8 -> Detections (leading dim B)."""
-        return jax.vmap(detect_one)(gray_batch)
+        tern, labels = preprocess(gray_batch)
+        return jax.vmap(detect_one)(gray_batch, tern, labels)
 
     return detect

@@ -32,7 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-FIT_ITERS = 6
+FIT_ITERS = 4  # refine_quads recovers sub-pixel accuracy afterwards
 MIN_EDGE_POINTS = 5
 MIN_EDGE_LEN = 6.0  # pixels
 MAX_LINE_RMS = 1.2  # pixels, residual gate
