@@ -73,6 +73,7 @@ class App:
         team_number: Optional[int] = None,
         logger=None,
         detector_kwargs: Optional[dict] = None,
+        pipeline_depth: int = 1,
     ):
         import jax.numpy as jnp
 
@@ -167,6 +168,8 @@ class App:
                 (b, self.frame_h, self.frame_w), 127, np.uint8
             )
 
+        self.pipeline_depth = pipeline_depth
+        self._in_flight = None
         self._started = False
 
     # -- lifecycle -----------------------------------------------------------
@@ -179,6 +182,13 @@ class App:
         self._started = True
 
     def stop_all_tasks(self) -> None:
+        # Flush the pipelined in-flight batch so its poses aren't lost.
+        if self._in_flight is not None:
+            out, states = self._in_flight
+            self._in_flight = None
+            for b, ch in enumerate(self.fused_chains):
+                fresh, tov = states[b]
+                self._publish_with(ch, out, b, fresh, tov)
         for ch in self.fused_chains:
             ch.camera.stop(self.clock)
         for t in self.tasks.values():
@@ -204,13 +214,12 @@ class App:
             if self.logger is not None:
                 self.logger.log_frame(ch.cam_id, msg.tov.time_us, frame)
 
-    def _publish(self, ch: FusedChain, out, b: int) -> None:
+    def _publish_with(self, ch: FusedChain, out, b: int, fresh: bool,
+                      tov: Optional[int]) -> None:
         now_ms = self.clock.now_ms()
-        latency_us = (
-            self.clock.now_us() - ch.last_tov if ch.last_tov is not None else 0
-        )
+        latency_us = self.clock.now_us() - tov if tov is not None else 0
         valid = bool(out.pose_valid[b]) if out is not None else False
-        if valid and ch.fresh:
+        if valid and fresh:
             pose = RobotPose(
                 float(out.pose_x[b]), float(out.pose_y[b]), float(out.pose_yaw[b])
             )
@@ -233,7 +242,15 @@ class App:
             ch.last_heartbeat_ms = now_ms
 
     def run_one_iteration(self) -> Optional[object]:
-        """One scheduler tick. Returns the fused VisionOutput (or None)."""
+        """One scheduler tick. Returns the fused VisionOutput (or None).
+
+        With ``pipeline_depth=1`` (default) the device step dispatched for
+        THIS iteration's frames is published on the NEXT iteration — JAX's
+        async dispatch lets host capture and device compute overlap (the
+        reference's producer/consumer decoupling, SURVEY.md section 2.4
+        item 4). Latency stamps stay correct: each chain's tov is captured
+        with its batch.
+        """
         import jax.numpy as jnp
 
         if not self._started:
@@ -243,14 +260,30 @@ class App:
         if self.step is not None:
             self._poll_cameras()
             any_fresh = any(ch.fresh for ch in self.fused_chains)
+            dispatched = None
             if any_fresh:
                 gyro_val = self._comm.gyro_angle()
                 gyro = np.full(
                     len(self.fused_chains), gyro_val or 0.0, np.float32
                 )
-                out = self.step(jnp.asarray(self._frames_buf), jnp.asarray(gyro))
-            for b, ch in enumerate(self.fused_chains):
-                self._publish(ch, out, b)
+                # Async dispatch: returns immediately, device crunches while
+                # the host loops back to capture.
+                dispatched = (
+                    self.step(jnp.asarray(self._frames_buf), jnp.asarray(gyro)),
+                    [(ch.fresh, ch.last_tov) for ch in self.fused_chains],
+                )
+            if self.pipeline_depth > 0:
+                ready, self._in_flight = self._in_flight, dispatched
+            else:
+                ready = dispatched
+            if ready is not None:
+                out, states = ready
+                for b, ch in enumerate(self.fused_chains):
+                    fresh, tov = states[b]
+                    self._publish_with(ch, out, b, fresh, tov)
+            else:
+                for ch in self.fused_chains:
+                    self._publish_with(ch, None, 0, False, ch.last_tov)
 
         # Generic host tasks in topological order.
         from chalkydri_tpu.io.camera import CamPipeline
