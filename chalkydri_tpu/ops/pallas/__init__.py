@@ -1,0 +1,4 @@
+"""Pallas TPU kernels (see /opt guide conventions): VMEM-resident stages of
+the detector hot path."""
+
+from chalkydri_tpu.ops.pallas.ccl_kernel import label_components_pallas  # noqa: F401

@@ -64,6 +64,7 @@ def make_vision_pipeline(
     decision_margin_min: float = 0.0,
     refine: bool = True,
     detector_kwargs: dict | None = None,
+    input_format: str = "GREY",
 ):
     """Build the jitted fused step for a fixed camera rig.
 
@@ -107,7 +108,13 @@ def make_vision_pipeline(
 
     @jax.jit
     def step(frames: jax.Array, gyro: jax.Array) -> VisionOutput:
-        """frames: [B, H, W] uint8 grayscale; gyro: [B] (radians)."""
+        """frames: [B, H, W] uint8 grayscale (or raw color per
+        ``input_format`` — converted on device, BASELINE config #2);
+        gyro: [B] (radians)."""
+        if input_format.upper() not in ("GREY", "GRAY", "GRAY8", "Y800"):
+            from chalkydri_tpu.detector.grayscale import to_gray_device
+
+            frames = to_gray_device(frames, fourcc=input_format)
         dets = detect(frames)
         res, n_tags = jax.vmap(solve_frame)(
             dets, cam_models.params, rc.rotation, rc.translation, gyro
