@@ -63,6 +63,8 @@ def main(argv=None) -> int:
         team_number=config.team_number,
         synthetic_cameras=not args.no_synthetic,
         logger=logger,
+        ntables_ip=config.ntables_ip,
+        device_name=config.device_name or "chalkydri-tpu",
     )
     try:
         app.run(max_iters=args.iters, rate_hz=args.rate)

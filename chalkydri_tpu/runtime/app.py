@@ -74,6 +74,8 @@ class App:
         logger=None,
         detector_kwargs: Optional[dict] = None,
         pipeline_depth: int = 1,
+        ntables_ip: Optional[str] = None,
+        device_name: str = "chalkydri-tpu",
     ):
         import jax.numpy as jnp
 
@@ -172,6 +174,25 @@ class App:
         self._in_flight = None
         self._started = False
 
+        # Optional NetworkTables uplink: the reference's robot-visible state
+        # schema (book/src/networktables.md:1-30 — Chalkydri/Robot/Position,
+        # Chalkydri/Robot/Rotation, Chalkydri/Devices/{id}/Version).
+        self._nt = None
+        if ntables_ip:
+            from chalkydri_tpu.io.networktables import NT4Client
+
+            try:
+                host, _, port = ntables_ip.partition(":")
+                nt = NT4Client(host, int(port) if port else 5810)
+                nt.connect()
+                from chalkydri_tpu import __version__
+
+                nt.publish(f"/Chalkydri/Devices/{device_name}/Version", __version__)
+                self._nt = nt
+                self.resources.add("nt.client", nt)
+            except (OSError, ConnectionError):
+                self._nt = None  # NT server absent: degrade silently
+
     # -- lifecycle -----------------------------------------------------------
 
     def start_all_tasks(self) -> None:
@@ -233,6 +254,17 @@ class App:
             )
             if self.logger is not None:
                 self.logger.log_pose(ch.cam_id, latency_us, pose, std)
+            if self._nt is not None:
+                try:
+                    self._nt.set_many(
+                        {
+                            "/Chalkydri/Robot/Position/X": pose.x,
+                            "/Chalkydri/Robot/Position/Y": pose.y,
+                            "/Chalkydri/Robot/Rotation": pose.rot,
+                        }
+                    )
+                except (OSError, ConnectionError):
+                    self._nt = None
             return
         # Heartbeat: zero pose at most every >5 ms (lib.rs:365-376).
         if ch.last_heartbeat_ms is None or now_ms - ch.last_heartbeat_ms > HEARTBEAT_MS:

@@ -183,3 +183,33 @@ class TestUnifiedLog:
         p.write_bytes(b"not a log")
         with pytest.raises(ValueError):
             list(read_log(str(p)))
+
+
+class TestNtUplink:
+    def test_app_publishes_robot_schema(self, tiny_layout):
+        """With ntables_ip configured, valid poses land on the reference's
+        NT schema topics (book/src/networktables.md)."""
+        from chalkydri_tpu.io.networktables import MiniNTServer
+        import time as _time
+
+        srv = MiniNTServer().start()
+        comm = Comm(remote_addr="127.0.0.1", remote_port=18600,
+                    gyro_port=18601, use_native=False)
+        app = App(
+            _mini_graph(n_cams=1), field_layout=tiny_layout, comm=comm,
+            ntables_ip=f"127.0.0.1:{srv.port}",
+            detector_kwargs=dict(max_edge_points=8192, max_clusters=16,
+                                 cluster_points=256),
+        )
+        try:
+            # Version topic announced at startup regardless of detections.
+            deadline = _time.time() + 3
+            while _time.time() < deadline and not any(
+                "Version" in k for k in srv.values
+            ):
+                _time.sleep(0.02)
+            assert any(k.startswith("/Chalkydri/Devices/") for k in srv.values)
+        finally:
+            app.stop_all_tasks()
+            comm.close()
+            srv.stop()
