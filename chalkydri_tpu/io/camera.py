@@ -119,7 +119,9 @@ class _CvCapture:
     """cv2.VideoCapture wrapper with a reader thread and a depth-1
     drop-oldest slot (appsink max-buffers=1 drop=true, pipeline.rs:168-172)."""
 
-    def __init__(self, node: str, width: int, height: int, fps: Optional[float]):
+    def __init__(self, node: str, width: int, height: int, fps: Optional[float],
+                 auto_exposure: bool = True,
+                 manual_exposure: Optional[int] = None):
         import cv2
 
         self._cap = cv2.VideoCapture(node, cv2.CAP_V4L2)
@@ -129,6 +131,21 @@ class _CvCapture:
             self._cap.set(cv2.CAP_PROP_FRAME_HEIGHT, height)
         if fps:
             self._cap.set(cv2.CAP_PROP_FPS, fps)
+        # Exposure config parity (chalkydri_core/src/config.rs:64-65):
+        # V4L2 convention: 1 = manual mode, 3 = aperture-priority auto.
+        if not auto_exposure or manual_exposure is not None:
+            self._cap.set(cv2.CAP_PROP_AUTO_EXPOSURE, 1)
+            if manual_exposure is not None:
+                self._cap.set(cv2.CAP_PROP_EXPOSURE, float(manual_exposure))
+        else:
+            self._cap.set(cv2.CAP_PROP_AUTO_EXPOSURE, 3)
+
+    def set_exposure(self, value: int) -> None:
+        """Runtime exposure update (the AAEC controller's actuator,
+        subsystems/aaec.py)."""
+        import cv2
+
+        self._cap.set(cv2.CAP_PROP_EXPOSURE, float(value))
         self._slot = None
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -223,6 +240,8 @@ class CamPipeline:
         self.height = int(config.get("height", 0) or 0)
         self.fps = config.get("fps")
         self.orientation = config.get("orientation", "none")
+        self.auto_exposure = bool(config.get("auto_exposure", True))
+        self.manual_exposure = config.get("manual_exposure")
         self._synthetic_ok = synthetic_ok
         self._cap = None
         self._was_present = False
@@ -236,13 +255,22 @@ class CamPipeline:
             node = self.cam_id_str  # allow raw /dev/videoN ids
         if node is not None:
             try:
-                self._cap = _CvCapture(node, self.width, self.height, self.fps)
+                self._cap = _CvCapture(
+                    node, self.width, self.height, self.fps,
+                    auto_exposure=self.auto_exposure,
+                    manual_exposure=self.manual_exposure,
+                )
                 self._was_present = True
                 return
             except Exception:
                 self._cap = None
+
         if self._synthetic_ok:
             self._cap = SyntheticCapture(self.width, self.height)
+
+    def set_exposure(self, value: int) -> None:
+        if self._cap is not None and hasattr(self._cap, "set_exposure"):
+            self._cap.set_exposure(value)
 
     def process(self, clock: RobotClock) -> Stamped:
         if self._cap is None:

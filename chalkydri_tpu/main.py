@@ -28,6 +28,8 @@ def main(argv=None) -> int:
     p.add_argument("--iters", type=int, default=None, help="stop after N iterations")
     p.add_argument("--rate", type=float, default=None, help="iteration rate cap (Hz)")
     p.add_argument("--log", default=None, help="unified log output path")
+    p.add_argument("--mjpeg-port", type=int, default=None,
+                   help="serve a driver-station MJPEG preview on this port")
     p.add_argument("--no-synthetic", action="store_true",
                    help="fail instead of synthesizing frames for absent cameras")
     args = p.parse_args(argv)
@@ -66,6 +68,34 @@ def main(argv=None) -> int:
         ntables_ip=config.ntables_ip,
         device_name=config.device_name or "chalkydri-tpu",
     )
+
+    # Driver-station MJPEG preview (the reference's MjpegProc/Monitor role):
+    # enabled by --mjpeg-port or any camera's mjpeg subsystem config.
+    mjpeg_server = None
+    wants_mjpeg = args.mjpeg_port is not None or any(
+        cam.subsystems.mjpeg is not None for cam in (config.cameras or [])
+    )
+    if wants_mjpeg:
+        import cv2
+
+        from chalkydri_tpu.io.mjpeg import MjpegServer
+        from chalkydri_tpu.subsystems.monitor import JPEG_QUALITY, FrameRing
+
+        ring = FrameRing()
+
+        def observer(cam_id, tov_us, frame):
+            ok, enc = cv2.imencode(
+                ".jpg", frame, [cv2.IMWRITE_JPEG_QUALITY, 50]
+            )
+            if ok:
+                ring.push(tov_us or 0, enc.tobytes())
+
+        app.add_frame_observer(observer)
+        mjpeg_server = MjpegServer(ring, port=args.mjpeg_port or 8080)
+        mjpeg_server.start()
+        print(f"MJPEG preview: http://0.0.0.0:{mjpeg_server.port}/stream",
+              file=sys.stderr)
+
     try:
         app.run(max_iters=args.iters, rate_hz=args.rate)
     except KeyboardInterrupt:
@@ -73,6 +103,8 @@ def main(argv=None) -> int:
     finally:
         if logger:
             logger.close()
+        if mjpeg_server is not None:
+            mjpeg_server.stop()
         PROVIDER.stop()
     return 0
 

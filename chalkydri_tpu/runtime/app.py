@@ -173,6 +173,7 @@ class App:
         self.pipeline_depth = pipeline_depth
         self._in_flight = None
         self._started = False
+        self._frame_observers: list = []
 
         # Optional NetworkTables uplink: the reference's robot-visible state
         # schema (book/src/networktables.md:1-30 — Chalkydri/Robot/Position,
@@ -234,6 +235,13 @@ class App:
             ch.fresh = True
             if self.logger is not None:
                 self.logger.log_frame(ch.cam_id, msg.tov.time_us, frame)
+            for obs in self._frame_observers:
+                obs(ch.cam_id, msg.tov.time_us, frame)
+
+    def add_frame_observer(self, fn) -> None:
+        """Register ``fn(cam_id, tov_us, frame)`` called on every fresh frame
+        (drives the MJPEG preview and custom host-side consumers)."""
+        self._frame_observers.append(fn)
 
     def _publish_with(self, ch: FusedChain, out, b: int, fresh: bool,
                       tov: Optional[int]) -> None:

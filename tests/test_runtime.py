@@ -213,3 +213,45 @@ class TestNtUplink:
             app.stop_all_tasks()
             comm.close()
             srv.stop()
+
+
+class TestMixedGeometry:
+    def test_cameras_with_different_resolutions(self, tiny_layout):
+        """Cameras of different sizes batch into one padded frame stack
+        (smaller frames sit in a 127-'skip' canvas)."""
+        g = TaskGraph.from_dict(
+            {"tasks": [
+                {"id": "camera_a", "type": "CamPipeline",
+                 "config": {"id": "missing-a", "name": "a", "width": 320, "height": 240}},
+                {"id": "apriltags_a", "type": "chalkydri_apriltags::AprilTags",
+                 "config": {"cam_id": 0,
+                            "calib": '{"OpenCVModel5": {"fx": 300, "fy": 300, "cx": 160, "cy": 120, "k1": 0, "k2": 0, "p1": 0, "p2": 0, "k3": 0}}',
+                            "robot_to_cam": '{"roll": 0, "pitch": 0, "yaw": 0, "x": 0, "y": 0, "z": 0.5}'}},
+                {"id": "camera_b", "type": "CamPipeline",
+                 "config": {"id": "missing-b", "name": "b", "width": 640, "height": 480}},
+                {"id": "apriltags_b", "type": "chalkydri_apriltags::AprilTags",
+                 "config": {"cam_id": 1,
+                            "calib": '{"OpenCVModel5": {"fx": 600, "fy": 600, "cx": 320, "cy": 240, "k1": 0, "k2": 0, "p1": 0, "p2": 0, "k3": 0}}',
+                            "robot_to_cam": '{"roll": 0, "pitch": 0, "yaw": 0, "x": 0, "y": 0, "z": 0.5}'}},
+            ],
+             "cnx": [{"src": "camera_a", "dst": "apriltags_a", "msg": "f"},
+                     {"src": "camera_b", "dst": "apriltags_b", "msg": "f"}],
+             "resources": [{"id": "comm", "provider": "whacknet::CommBundle"}]}
+        )
+        comm = Comm(remote_addr="127.0.0.1", remote_port=18620,
+                    gyro_port=18621, use_native=False)
+        app = App(g, field_layout=tiny_layout, comm=comm,
+                  detector_kwargs=dict(max_edge_points=8192, max_clusters=16,
+                                       cluster_points=256))
+        try:
+            assert (app.frame_h, app.frame_w) == (480, 640)
+            out = None
+            for _ in range(6):
+                out = app.run_one_iteration() or out
+            assert out is not None
+            # The small camera's detections come from the padded canvas.
+            counts = np.asarray(out.detections.valid).sum(axis=-1)
+            assert counts.max() >= 1
+        finally:
+            app.stop_all_tasks()
+            comm.close()
