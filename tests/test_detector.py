@@ -317,3 +317,48 @@ class TestGrayscale:
         out = step(jnp.asarray(rgb)[None], jnp.zeros(1, jnp.float32))
         ids = [int(i) for i in np.asarray(out.detections.ids[0]) if i >= 0]
         assert 3 in ids
+
+
+class TestCapacityAndEdgeCases:
+    def test_sixteen_tags_capacity(self):
+        """A full MAX_DETECTIONS complement in one frame (grid of 16 tags)."""
+        tags = []
+        for i in range(16):
+            r, c = divmod(i, 4)
+            tags.append((i, axis_aligned_corners(90 + 150 * c, 70 + 115 * r, 45)))
+        canvas, gts = simple_scene(FAM, tags, size=(560, 720))
+        out = detect_once(canvas)
+        found = sorted(tid for tid, _ in valid_list(out))
+        assert found == list(range(16)), found
+        for tid, c in valid_list(out):
+            assert np.abs(c - gts[tid]).max() < 0.15
+
+    def test_partially_visible_tag_not_decoded(self):
+        """A tag cut by the image border must not produce a (wrong) pose."""
+        canvas, _ = simple_scene(FAM, [(3, axis_aligned_corners(620, 240, 80))])
+        out = detect_once(canvas)
+        for tid, c in valid_list(out):
+            # If anything is reported it must NOT claim to be tag 3 with
+            # corners inside the visible region only.
+            assert tid != 3
+
+    def test_small_tag(self):
+        """A ~26 px tag still detects with sub-pixel corners."""
+        canvas, gts = simple_scene(FAM, [(9, axis_aligned_corners(320, 240, 13))])
+        out = detect_once(canvas)
+        dets = dict(valid_list(out))
+        assert 9 in dets
+        assert np.abs(dets[9] - gts[9]).max() < 0.4
+
+    def test_two_copies_same_id_dedup(self):
+        """Two physical copies of one id: the margin-ranked dedup keeps one
+        (defensive choice — the solver maps ids to unique field poses,
+        crates/apriltags/src/lib.rs:306-308)."""
+        canvas, _ = simple_scene(
+            FAM,
+            [(7, axis_aligned_corners(180, 240, 70)),
+             (7, axis_aligned_corners(460, 240, 70))],
+        )
+        out = detect_once(canvas)
+        ids = [tid for tid, _ in valid_list(out)]
+        assert ids.count(7) == 1
