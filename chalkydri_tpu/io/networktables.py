@@ -363,3 +363,31 @@ class MiniNTServer:
 
     def stop(self):
         self._stop.set()
+
+
+def _server_cli():
+    """Dev tool: run a loopback NT4 server and print /chalkydri topics —
+    parity with the reference's ``tools/ntserver.py`` (a fake robot-side NT
+    server for hardware-free testing, SURVEY.md section 4)."""
+    import argparse
+    import time as _time
+
+    p = argparse.ArgumentParser(prog="minint-server")
+    p.add_argument("--port", type=int, default=NT_PORT)
+    args = p.parse_args()
+    srv = MiniNTServer(host="0.0.0.0", port=args.port).start()
+    print(f"MiniNT server on :{srv.port}; printing topic updates (Ctrl-C to stop)")
+    seen: dict[str, Any] = {}
+    try:
+        while True:
+            _time.sleep(0.25)
+            for k, v in list(srv.values.items()):
+                if seen.get(k) != v:
+                    seen[k] = v
+                    print(f"{k} = {v}")
+    except KeyboardInterrupt:
+        srv.stop()
+
+
+if __name__ == "__main__":
+    _server_cli()
