@@ -181,6 +181,9 @@ class SyntheticCapture:
     fixed rate. Used when the configured device is absent (dev machines, CI)
     so the full pipeline runs hardware-free (SURVEY.md section 4)."""
 
+    N_PHASES = 24  # pre-rendered animation cycle (rendering 1 MP frames in
+    #                numpy per poll would throttle the whole app loop)
+
     def __init__(self, width: int, height: int, fps: float = 30.0,
                  tag_ids=(3, 4), seed: int = 0):
         self.width = max(width, 160) or 640
@@ -192,6 +195,7 @@ class SyntheticCapture:
         from chalkydri_tpu.detector.families import load_family
 
         self._family = load_family("tag36h11")
+        self._cycle: list = []
 
     def latest(self):
         now = time.monotonic_ns() // 1000
@@ -199,9 +203,14 @@ class SyntheticCapture:
             return None
         self._last_emit = now
         self._n += 1
-        frame = _render_synthetic(
-            self._family, self.width, self.height, self._tag_ids, self._n
-        )
+        if len(self._cycle) < self.N_PHASES:
+            self._cycle.append(
+                _render_synthetic(
+                    self._family, self.width, self.height, self._tag_ids,
+                    len(self._cycle),
+                )
+            )
+        frame = self._cycle[self._n % len(self._cycle)]
         return frame, now
 
     def close(self):

@@ -208,9 +208,10 @@ class App:
         if self._in_flight is not None:
             out, states = self._in_flight
             self._in_flight = None
+            host_out = self._fetch_small(out)
             for b, ch in enumerate(self.fused_chains):
                 fresh, tov = states[b]
-                self._publish_with(ch, out, b, fresh, tov)
+                self._publish_with(ch, host_out, b, fresh, tov)
         for ch in self.fused_chains:
             ch.camera.stop(self.clock)
         for t in self.tasks.values():
@@ -242,6 +243,22 @@ class App:
         """Register ``fn(cam_id, tov_us, frame)`` called on every fresh frame
         (drives the MJPEG preview and custom host-side consumers)."""
         self._frame_observers.append(fn)
+
+    @staticmethod
+    def _fetch_small(out):
+        """One device->host transfer for the per-camera scalars (per-field
+        ``float(...)`` fetches are a round trip EACH — ruinous on remote
+        TPU transports). The large detections tensor stays on device."""
+        import jax
+
+        x, y, yaw, std, valid, n = jax.device_get(
+            (out.pose_x, out.pose_y, out.pose_yaw, out.std_devs,
+             out.pose_valid, out.tag_count)
+        )
+        return out._replace(
+            pose_x=x, pose_y=y, pose_yaw=yaw, std_devs=std,
+            pose_valid=valid, tag_count=n,
+        )
 
     def _publish_with(self, ch: FusedChain, out, b: int, fresh: bool,
                       tov: Optional[int]) -> None:
@@ -318,9 +335,10 @@ class App:
                 ready = dispatched
             if ready is not None:
                 out, states = ready
+                host_out = self._fetch_small(out)
                 for b, ch in enumerate(self.fused_chains):
                     fresh, tov = states[b]
-                    self._publish_with(ch, out, b, fresh, tov)
+                    self._publish_with(ch, host_out, b, fresh, tov)
             else:
                 for ch in self.fused_chains:
                     self._publish_with(ch, None, 0, False, ch.last_tov)
