@@ -362,3 +362,54 @@ class TestCapacityAndEdgeCases:
         out = detect_once(canvas)
         ids = [tid for tid, _ in valid_list(out)]
         assert ids.count(7) == 1
+
+
+class TestGoldenCorpus:
+    def test_detection_statistics(self):
+        """Statistical regression gate over a randomized scene corpus:
+        detection rate and corner accuracy must not regress."""
+        rng = np.random.default_rng(2026)
+        detect = make_detector()
+        total = found = 0
+        errs = []
+        for trial in range(10):
+            # Jittered 2-slot grid: no overlap by construction.
+            slots = [(170.0, 240.0), (470.0, 240.0)]
+            n_tags = int(rng.integers(1, 3))
+            placed = []
+            used = set()
+            for k in range(n_tags):
+                tid = int(rng.integers(0, 587))
+                while tid in used:
+                    tid = int(rng.integers(0, 587))
+                used.add(tid)
+                cx = slots[k][0] + float(rng.uniform(-30, 30))
+                cy = slots[k][1] + float(rng.uniform(-60, 60))
+                half = float(rng.uniform(35, 70))
+                base = axis_aligned_corners(cx, cy, half)
+                # random perspective jitter, keep convex
+                base = base + rng.uniform(-0.15 * half, 0.15 * half, (4, 2))
+                placed.append((tid, base.astype(np.float32)))
+            canvas, gts = simple_scene(FAM, placed, noise=float(rng.uniform(0, 4)),
+                                       seed=trial)
+            out = detect(jnp.asarray(canvas)[None])
+            dets = dict(valid_list_from(out))
+            for tid, _ in placed:
+                total += 1
+                if tid in dets:
+                    found += 1
+                    errs.append(np.abs(dets[tid] - gts[tid]).max())
+        assert total >= 15
+        rate = found / total
+        assert rate >= 0.9, f"detection rate {rate:.2f} ({found}/{total})"
+        errs = np.array(errs)
+        assert np.median(errs) < 0.25, f"median corner err {np.median(errs):.3f}"
+        assert np.quantile(errs, 0.9) < 0.8, f"p90 corner err {np.quantile(errs, 0.9):.3f}"
+
+
+def valid_list_from(out):
+    v = np.asarray(out.valid[0])
+    return [
+        (int(out.ids[0, i]), np.asarray(out.corners[0, i]))
+        for i in np.where(v)[0]
+    ]
