@@ -56,6 +56,23 @@ class Detections(NamedTuple):
     def count(self):
         return jnp.sum(self.valid, axis=-1)
 
+    def filtered_by_decision_margin(self, threshold: float):
+        """Iterate (frame, id, corners, margin) for detections above the
+        margin threshold — API parity with
+        ``AprilTagDetections::filtered_by_decision_margin``
+        (crates/apriltags/src/lib.rs:127-141). Host-side convenience (pulls
+        the arrays once)."""
+        import numpy as np
+
+        ids = np.asarray(self.ids)
+        corners = np.asarray(self.corners)
+        margins = np.asarray(self.decision_margins)
+        valid = np.asarray(self.valid)
+        for b in range(ids.shape[0]):
+            for i in range(ids.shape[1]):
+                if valid[b, i] and margins[b, i] > threshold:
+                    yield b, int(ids[b, i]), corners[b, i], float(margins[b, i])
+
 
 def make_detector(
     family: str | TagFamily = DEFAULT_FAMILY,
