@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from chalkydri_tpu.detector.threshold import adaptive_threshold
+from chalkydri_tpu.detector.segment import label_components
 from chalkydri_tpu.parallel.mesh import batch_sharding, frame_sharding, make_mesh
 from chalkydri_tpu.parallel.sharded_stages import sharded_adaptive_threshold
 from tests.reference_impl.render import axis_aligned_corners, simple_scene
@@ -80,3 +81,26 @@ class TestDataParallelPipeline:
         np.testing.assert_allclose(
             np.asarray(out.pose_x), np.asarray(ref.pose_x), atol=1e-5
         )
+
+
+class TestShardedCCL:
+    def test_matches_unsharded_labels(self, mesh8):
+        """Row-sharded CCL with ICI seam merges == single-device labels, bit
+        for bit — including blobs that span the shard boundary."""
+        from chalkydri_tpu.detector.segment import label_components
+        from chalkydri_tpu.parallel.sharded_stages import sharded_label_components
+
+        fam = load_family("tag36h11")
+        # Tag centered ON the row-shard boundary (row 240 of 480, 2 shards).
+        canvas, _ = simple_scene(
+            fam,
+            [(3, axis_aligned_corners(320, 240, 100)),
+             (9, axis_aligned_corners(520, 120, 60))],
+        )
+        batch = np.stack([canvas] * 4)
+        tern = adaptive_threshold(jnp.asarray(batch))
+        ref = np.asarray(label_components(tern, iters=24))
+
+        tern_s = jax.device_put(np.asarray(tern), frame_sharding(mesh8, spatial=True))
+        out = np.asarray(sharded_label_components(tern_s, mesh8, iters=24))
+        np.testing.assert_array_equal(out, ref)
