@@ -15,7 +15,6 @@ same tag; the reference's C detector dedups inside libapriltag).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -79,7 +79,7 @@ def main(argv=None) -> int:
         import cv2
 
         from chalkydri_tpu.io.mjpeg import MjpegServer
-        from chalkydri_tpu.subsystems.monitor import JPEG_QUALITY, FrameRing
+        from chalkydri_tpu.subsystems.monitor import FrameRing
 
         ring = FrameRing()
 

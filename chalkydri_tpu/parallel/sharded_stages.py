@@ -20,7 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from chalkydri_tpu.detector.threshold import MIN_WHITE_BLACK_DIFF, TILE, _tile_minmax
 

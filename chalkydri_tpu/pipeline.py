@@ -19,24 +19,18 @@ Host code around it only moves bytes (capture in, UDP packets out).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from chalkydri_tpu.detector.families import DEFAULT_BITS_CORRECTED, DEFAULT_FAMILY
-from chalkydri_tpu.detector.pipeline import MAX_DETECTIONS, Detections, make_detector
+from chalkydri_tpu.detector.pipeline import Detections, make_detector
 from chalkydri_tpu.geometry.camera import OpenCVModel5
 from chalkydri_tpu.geometry.field_layout import FieldLayout
 from chalkydri_tpu.geometry.tags import TAG_SIZE
 from chalkydri_tpu.geometry.transforms import SE3, matrix_to_yaw
-from chalkydri_tpu.solver.robot_pose import (
-    SIGN_FLIP_CONST,
-    RobotPoseResult,
-    solve_robot_pose,
-)
+from chalkydri_tpu.solver.robot_pose import SIGN_FLIP_CONST, solve_robot_pose
 from chalkydri_tpu.utils.precision import highest_precision
 
 
@@ -158,7 +152,16 @@ def build_rig_from_config(cameras, layout: FieldLayout):
         if isinstance(cam, dict):
             rtc = cam.get("robot_to_cam")
         else:
-            rtc = None
+            # TOML Camera dataclass: mount offsets live in cam_offsets
+            # (translation meters, rotation degrees —
+            # chalkydri_core/src/config.rs:79-87).
+            offs = cam.cam_offsets
+            rtc = {
+                "x": offs.translation.x, "y": offs.translation.y,
+                "z": offs.translation.z,
+                "roll": offs.rotation.x, "pitch": offs.rotation.y,
+                "yaw": offs.rotation.z,
+            }
         if isinstance(rtc, str):
             rtc = json.loads(rtc)
         rtc = rtc or {}

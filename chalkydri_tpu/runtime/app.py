@@ -19,15 +19,14 @@ Latency discipline parity (pipeline.rs:344-392, apriltags/src/lib.rs:293-379):
 
 from __future__ import annotations
 
-import json
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
 
 from chalkydri_tpu.io.whacknet import Comm, RobotPose, VisionUncertainty
-from chalkydri_tpu.runtime.clock import RobotClock, Stamped, Tov
+from chalkydri_tpu.runtime.clock import RobotClock, Stamped
 from chalkydri_tpu.runtime.graph import TaskGraph
 from chalkydri_tpu.runtime.tasks import REGISTRY, ResourceManager
 

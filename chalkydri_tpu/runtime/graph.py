@@ -16,7 +16,6 @@ device (SURVEY.md section 1, architectural signature).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
 
 from chalkydri_tpu.io import ron
 

@@ -22,7 +22,6 @@ Key reference constants:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

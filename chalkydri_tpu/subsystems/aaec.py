@@ -13,8 +13,6 @@ hysteresis), which is the standard active-exposure formulation.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -14,7 +14,7 @@ comes as a numpy array argument) is preserved.
 from __future__ import annotations
 
 import types
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 

@@ -11,7 +11,7 @@ batched next to the vision pipeline.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 

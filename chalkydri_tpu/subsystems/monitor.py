@@ -15,8 +15,6 @@ from __future__ import annotations
 import collections
 import os
 import threading
-import time
-from typing import Optional
 
 import numpy as np
 

@@ -12,7 +12,6 @@ import json
 import os
 import shutil
 from dataclasses import dataclass
-from typing import Optional
 
 UPDATE_DIR_NAME = "chalkydri-update"
 MANIFEST = "manifest.json"
