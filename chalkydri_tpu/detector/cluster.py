@@ -151,12 +151,11 @@ def gradient_clusters(
 
     n = black.shape[0]
 
-    # --- sort by (black, white): two stable passes, payload rides along ----
-    white_s, black_s, payload_s = jax.lax.sort(
-        (white, black, payload), dimension=0, is_stable=True, num_keys=1
-    )
+    # --- sort by (black, white): ONE lexicographic 2-key sort (measured on
+    # v5e: a num_keys=2 sort costs the same as a single-key pass, so this
+    # halves what two stable passes would) --------------------------------
     s_black, s_white, s_payload = jax.lax.sort(
-        (black_s, white_s, payload_s), dimension=0, is_stable=True, num_keys=1
+        (black, white, payload), dimension=0, is_stable=False, num_keys=2
     )
     s_valid = s_black != _INT_MAX
 
