@@ -111,15 +111,16 @@ def make_detector(
         and os.environ.get("CHALKYDRI_NO_PALLAS") != "1"
     )
     if use_pallas:
-        from chalkydri_tpu.ops.pallas.ccl_kernel import label_components_pallas
+        from chalkydri_tpu.ops.pallas.ccl_kernel import threshold_ccl_pallas
 
-        def label_fn(tern_batch):
-            return label_components_pallas(tern_batch, iters=ccl_iters)
+        def threshold_label_fn(small):
+            return threshold_ccl_pallas(small, iters=ccl_iters)
 
     else:
 
-        def label_fn(tern_batch):
-            return label_components(tern_batch, iters=ccl_iters)
+        def threshold_label_fn(small):
+            tern = adaptive_threshold(small)
+            return tern, label_components(tern, iters=ccl_iters)
 
     def preprocess(gray_batch):
         """Batch-level decimation + threshold + CCL (outside the per-frame
@@ -137,9 +138,7 @@ def make_detector(
             ).astype(jnp.uint8)
         else:
             small = gray_batch
-        tern = adaptive_threshold(small)
-        labels = label_fn(tern)
-        return tern, labels
+        return threshold_label_fn(small)
 
     def detect_one(gray, tern, labels):
         clusters = gradient_clusters(

@@ -86,75 +86,156 @@ def _segmented_scan_axis(labels, boundary_fwd, boundary_bwd, axis, size,
     return jnp.minimum(fwd, bwd)
 
 
+def _tile_stat(x, op, row_idx, col_idx, h, w):
+    """Exact 4x4-tile min/max broadcast back to pixel resolution, rolls only
+    (replicates detector/threshold.py's tile semantics in-kernel).
+
+    1. sliding 4-window reduce along each axis anchored at the window top/left,
+    2. select the tile-anchor rows/cols (r%4==0) and replicate their value
+       across the tile with masked shifts.
+    """
+    fill = jnp.int32(255) if op == "min" else jnp.int32(0)
+    fn = jnp.minimum if op == "min" else jnp.maximum
+
+    def slide4(v, axis, size, pos):
+        out = v
+        for s in (1, 2, 3):
+            sh = _roll(v, -s, axis, size)
+            sh = jnp.where(pos >= size - s, fill, sh)
+            out = fn(out, sh)
+        return out
+
+    def broadcast_anchor(v, axis, size, pos):
+        # keep anchor positions, then push each anchor value down 1..3 slots
+        anchored = jnp.where(pos % 4 == 0, v, fill)
+        out = anchored
+        for s in (1, 2, 3):
+            sh = _roll(anchored, s, axis, size)
+            out = jnp.where(pos % 4 == s, sh, out)
+        return out
+
+    v = slide4(x, 0, h, row_idx)
+    v = slide4(v, 1, w, col_idx)
+    v = broadcast_anchor(v, 0, h, row_idx)
+    v = broadcast_anchor(v, 1, w, col_idx)
+    return v
+
+
+def _neighborhood3_tiles(v, op, row_idx, col_idx, h, w):
+    """3x3 TILE neighborhood over tile-broadcast values: +-4 pixel shifts
+    (edge tiles contribute nothing, matching reduce_window's init padding)."""
+    fill = jnp.int32(255) if op == "min" else jnp.int32(0)
+    fn = jnp.minimum if op == "min" else jnp.maximum
+    out = v
+    for d in (-4, 4):
+        sh = _roll(v, d, 0, h)
+        edge = row_idx < d if d > 0 else row_idx >= h + d
+        out = fn(out, jnp.where(edge, fill, sh))
+    v2 = out
+    for d in (-4, 4):
+        sh = _roll(v2, d, 1, w)
+        edge = col_idx < d if d > 0 else col_idx >= w + d
+        out = fn(out, jnp.where(edge, fill, sh))
+    return out
+
+
+def _ccl_from_val(val, h, w, iters, offsets):
+    """Shared CCL body: ternary val [h, w] int32 -> labels int32."""
+    valid = val != 127
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    flat_idx = row_idx * w + col_idx
+    labels0 = jnp.where(valid, flat_idx, INVALID)
+
+    is_white = val == 255
+    bits = jnp.zeros((h, w), jnp.int32)
+    # bits 0..7: connectivity per offset (4-conn all, diagonals white-only)
+    for i, (dy, dx) in enumerate(offsets):
+        nv = _shift_no_wrap(val, dy, dx, jnp.int32(127), row_idx, col_idx, h, w)
+        same = (nv == val) & valid
+        if i >= 4:
+            same = same & is_white
+        bits = bits | (same.astype(jnp.int32) << i)
+
+    # bits 8..11: scan run boundaries (row fwd/bwd, col fwd/bwd)
+    def boundaries(axis, direction):
+        d = (0, direction) if axis == 1 else (direction, 0)
+        nv = _shift_no_wrap(val, d[0], d[1], jnp.int32(127), row_idx, col_idx, h, w)
+        pos = col_idx if axis == 1 else row_idx
+        at_edge = pos == 0 if direction > 0 else pos == (w if axis == 1 else h) - 1
+        return ((nv != val) | at_edge).astype(jnp.int32)
+
+    bits = bits | (boundaries(1, +1) << 8)
+    bits = bits | (boundaries(1, -1) << 9)
+    bits = bits | (boundaries(0, +1) << 10)
+    bits = bits | (boundaries(0, -1) << 11)
+    bits = bits | (valid.astype(jnp.int32) << 12)
+
+    def round_fn(labels):
+        m = labels
+        for i, (dy, dx) in enumerate(offsets):
+            nl = _shift_no_wrap(labels, dy, dx, INVALID, row_idx, col_idx, h, w)
+            same = (bits >> i) & 1
+            m = jnp.minimum(m, jnp.where(same == 1, nl, INVALID))
+        m = _segmented_scan_axis(
+            m, (bits >> 8) & 1, (bits >> 9) & 1, 1, w, col_idx
+        )
+        m = _segmented_scan_axis(
+            m, (bits >> 10) & 1, (bits >> 11) & 1, 0, h, row_idx
+        )
+        return jnp.where((bits >> 12) & 1 == 1, m, INVALID)
+
+    # Convergence-gated loop: typical scenes settle in fewer rounds than
+    # the worst-case budget; a fixed-point check per round exits early
+    # (``iters`` stays the hard latency bound).
+    def cond(carry):
+        i, _, changed = carry
+        return (i < iters) & changed
+
+    def body(carry):
+        i, labels, _ = carry
+        new = round_fn(labels)
+        return i + 1, new, jnp.any(new != labels)
+
+    _, labels_out, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), labels0, jnp.bool_(True))
+    )
+    return labels_out
+
+
 def _make_kernel(h, w, iters):
     offsets = list(_OFFSETS_ALL) + list(_OFFSETS_WHITE)
 
     def kernel(tern_ref, out_ref):
         # Work in int32 throughout: Mosaic's vector rotate (pltpu.roll) only
-        # supports 32-bit lanes. All boolean planes (8 connectivity masks, 4
-        # scan boundaries, validity) are PACKED into one int32 bitmask array
-        # to stay under the VMEM budget (13 separate planes OOM'd at ~21 MB).
+        # supports 32-bit lanes.
         val = tern_ref[:].astype(jnp.int32)
-        valid = val != 127
+        out_ref[:] = _ccl_from_val(val, h, w, iters, offsets)
+
+    return kernel
+
+
+def _make_fused_kernel(h, w, iters, min_diff):
+    """Threshold + CCL in one kernel: gray u8 in, (labels, tern) out. The
+    adaptive tile threshold (detector/threshold.py semantics, exactly) runs
+    on the VMEM-resident frame so the ternary image never round-trips HBM
+    before labeling."""
+    offsets = list(_OFFSETS_ALL) + list(_OFFSETS_WHITE)
+
+    def kernel(gray_ref, labels_ref, tern_ref):
+        g = gray_ref[:].astype(jnp.int32)
         row_idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         col_idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        flat_idx = row_idx * w + col_idx
-        labels0 = jnp.where(valid, flat_idx, INVALID)
-
-        is_white = val == 255
-        bits = jnp.zeros((h, w), jnp.int32)
-        # bits 0..7: connectivity per offset (4-conn all, diagonals white-only)
-        for i, (dy, dx) in enumerate(offsets):
-            nv = _shift_no_wrap(val, dy, dx, jnp.int32(127), row_idx, col_idx, h, w)
-            same = (nv == val) & valid
-            if i >= 4:
-                same = same & is_white
-            bits = bits | (same.astype(jnp.int32) << i)
-
-        # bits 8..11: scan run boundaries (row fwd/bwd, col fwd/bwd)
-        def boundaries(axis, direction):
-            d = (0, direction) if axis == 1 else (direction, 0)
-            nv = _shift_no_wrap(val, d[0], d[1], jnp.int32(127), row_idx, col_idx, h, w)
-            pos = col_idx if axis == 1 else row_idx
-            at_edge = pos == 0 if direction > 0 else pos == (w if axis == 1 else h) - 1
-            return ((nv != val) | at_edge).astype(jnp.int32)
-
-        bits = bits | (boundaries(1, +1) << 8)
-        bits = bits | (boundaries(1, -1) << 9)
-        bits = bits | (boundaries(0, +1) << 10)
-        bits = bits | (boundaries(0, -1) << 11)
-        bits = bits | (valid.astype(jnp.int32) << 12)
-
-        def round_fn(labels):
-            m = labels
-            for i, (dy, dx) in enumerate(offsets):
-                nl = _shift_no_wrap(labels, dy, dx, INVALID, row_idx, col_idx, h, w)
-                same = (bits >> i) & 1
-                m = jnp.minimum(m, jnp.where(same == 1, nl, INVALID))
-            m = _segmented_scan_axis(
-                m, (bits >> 8) & 1, (bits >> 9) & 1, 1, w, col_idx
-            )
-            m = _segmented_scan_axis(
-                m, (bits >> 10) & 1, (bits >> 11) & 1, 0, h, row_idx
-            )
-            return jnp.where((bits >> 12) & 1 == 1, m, INVALID)
-
-        # Convergence-gated loop: typical scenes settle in fewer rounds than
-        # the worst-case budget; a fixed-point check per round exits early
-        # (``iters`` stays the hard latency bound).
-        def cond(carry):
-            i, _, changed = carry
-            return (i < iters) & changed
-
-        def body(carry):
-            i, labels, _ = carry
-            new = round_fn(labels)
-            return i + 1, new, jnp.any(new != labels)
-
-        _, labels_out, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), labels0, jnp.bool_(True))
-        )
-        out_ref[:] = labels_out
+        tmin = _tile_stat(g, "min", row_idx, col_idx, h, w)
+        tmax = _tile_stat(g, "max", row_idx, col_idx, h, w)
+        tmin = _neighborhood3_tiles(tmin, "min", row_idx, col_idx, h, w)
+        tmax = _neighborhood3_tiles(tmax, "max", row_idx, col_idx, h, w)
+        contrast = tmax - tmin
+        thresh = tmin + contrast // 2
+        val = jnp.where(g > thresh, jnp.int32(255), jnp.int32(0))
+        val = jnp.where(contrast < min_diff, jnp.int32(127), val)
+        tern_ref[:] = val.astype(jnp.uint8)
+        labels_ref[:] = _ccl_from_val(val, h, w, iters, offsets)
 
     return kernel
 
@@ -177,3 +258,35 @@ def label_components_pallas(tern: jax.Array, iters: int = 12,
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
         interpret=interpret,
     )(tern)
+
+
+@partial(jax.jit, static_argnames=("iters", "min_diff", "interpret"))
+def threshold_ccl_pallas(gray: jax.Array, iters: int = 12, min_diff: int = 5,
+                         interpret: bool = False):
+    """Fused adaptive threshold + CCL. gray [B, H, W] u8 (H, W multiples of
+    4) -> (tern u8, labels i32), both [B, H, W]."""
+    b, h, w = gray.shape
+    assert h % 4 == 0 and w % 4 == 0
+    kernel = _make_fused_kernel(h, w, iters, min_diff)
+    labels, tern = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((None, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
+        ),
+        # The fused kernel's live set sits ~0.4 MB over the default 16 MB
+        # scoped-vmem budget; raise the cap slightly (v5e leaves headroom).
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(gray)
+    return tern, labels
