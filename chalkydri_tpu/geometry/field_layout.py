@@ -93,10 +93,11 @@ def load_field_layout(path: str | None = None, dtype=jnp.float64) -> FieldLayout
     """
     if path is None:
         path = "field.json"
-        if not os.path.exists(path):
-            # Fall back to the layout bundled with the package for tests/dev.
-            bundled = os.path.join(os.path.dirname(__file__), "..", "_data", "field.json")
-            if os.path.exists(bundled):
-                path = bundled
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"field layout {path!r} not found — drop the season's WPILib "
+            "field.json in the working directory (the reference's "
+            "convention) or pass --field/path explicitly"
+        )
     with open(path) as f:
         return parse_field_layout(json.load(f), dtype=dtype)
