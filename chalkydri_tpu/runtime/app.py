@@ -309,12 +309,15 @@ class App:
         """
         import jax.numpy as jnp
 
+        from chalkydri_tpu.utils.tracing import span
+
         if not self._started:
             self.start_all_tasks()
 
         out = None
         if self.step is not None:
-            self._poll_cameras()
+            with span("app.capture"):
+                self._poll_cameras()
             any_fresh = any(ch.fresh for ch in self.fused_chains)
             dispatched = None
             if any_fresh:
@@ -324,20 +327,22 @@ class App:
                 )
                 # Async dispatch: returns immediately, device crunches while
                 # the host loops back to capture.
-                dispatched = (
-                    self.step(jnp.asarray(self._frames_buf), jnp.asarray(gyro)),
-                    [(ch.fresh, ch.last_tov) for ch in self.fused_chains],
-                )
+                with span("app.dispatch"):
+                    dispatched = (
+                        self.step(jnp.asarray(self._frames_buf), jnp.asarray(gyro)),
+                        [(ch.fresh, ch.last_tov) for ch in self.fused_chains],
+                    )
             if self.pipeline_depth > 0:
                 ready, self._in_flight = self._in_flight, dispatched
             else:
                 ready = dispatched
             if ready is not None:
                 out, states = ready
-                host_out = self._fetch_small(out)
-                for b, ch in enumerate(self.fused_chains):
-                    fresh, tov = states[b]
-                    self._publish_with(ch, host_out, b, fresh, tov)
+                with span("app.fetch_publish"):
+                    host_out = self._fetch_small(out)
+                    for b, ch in enumerate(self.fused_chains):
+                        fresh, tov = states[b]
+                        self._publish_with(ch, host_out, b, fresh, tov)
             else:
                 for ch in self.fused_chains:
                     self._publish_with(ch, None, 0, False, ch.last_tov)
