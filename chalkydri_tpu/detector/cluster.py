@@ -12,11 +12,15 @@ which cost ~25-35 ms per 4M elements on v5e while 4M sorts cost ~6 ms):
 
 - candidate edges are enumerated densely (4 directions x H x W masks),
 - each candidate's position+direction is PACKED into one int32 payload,
-- two stable multi-operand ``lax.sort`` passes order candidates by
+- a BLOCK-SPARSE compaction keeps only the 128-lane blocks that actually
+  contain boundary candidates (edges are spatially sparse: a few thousand
+  points in a 512k-candidate grid), shrinking the sort input ~8x — per-block
+  popcounts + top-k block selection + one small gather, no scatters,
+- one lexicographic 2-key ``lax.sort`` orders the surviving candidates by
   (black label, white label), with invalid candidates keyed to INT32_MAX so
-  they sink to the tail — sorting IS the compaction,
-- the head of the sorted array is sliced to a fixed capacity, run-length
-  segmented, and the top-K segments by population become the cluster set,
+  they sink to the tail — sorting IS the grouping,
+- the sorted array is run-length segmented with scans, and the top-K
+  segments by population become the cluster set,
 - a stencil "speckle gate" (both sides of an edge must have >= 2
   same-valued 8-neighbors) replaces libapriltag's union-find blob-size gate:
   same purpose (keep noise blobs from crowding the capacity), no
@@ -45,7 +49,10 @@ _INT_MAX = jnp.iinfo(jnp.int32).max
 
 class Clusters(NamedTuple):
     # Per cluster, per point: x, y in pixel coords; gx, gy gradient.
-    points: jax.Array  # [K, P, 4] float32
+    # CHANNEL-FIRST layout [4, K, P] = (x, y, gx, gy): a [K, P, 4] layout
+    # puts 4 in the TPU lane dimension (padded 4 -> 128), which measured
+    # ~135x slower to materialize on v5e.
+    points: jax.Array  # [4, K, P] float32 (x, y, gx, gy)
     mask: jax.Array  # [K, P] bool
     count: jax.Array  # [K] int32 (true population, may exceed P)
     valid: jax.Array  # [K] bool (count >= MIN_CLUSTER_POINTS)
@@ -99,10 +106,6 @@ def _unpack_payload(p):
     return x2, y2, dir_idx, p_white
 
 
-_DIR_DX = jnp.array([d[1] for d in _DIRS], jnp.int32)
-_DIR_DY = jnp.array([d[0] for d in _DIRS], jnp.int32)
-
-
 def extract_boundary_points(tern: jax.Array, labels: jax.Array):
     """Dense boundary-point enumeration for ONE frame.
 
@@ -134,6 +137,33 @@ def extract_boundary_points(tern: jax.Array, labels: jax.Array):
     return cat(blacks), cat(whites), cat(payloads)
 
 
+def _compact_blocks(black, white, payload, cap):
+    """Block-sparse compaction: keep the `cap // 128` densest 128-candidate
+    blocks (most blocks carry no boundary candidates at all — tags cover a
+    small fraction of the frame). Returns (black, white, payload) each [cap].
+
+    Degradation when more than cap/128 blocks are non-empty: the sparsest
+    blocks are dropped whole — spatially-diffuse noise goes first, dense tag
+    borders last (the dense-sort path dropped largest-label clusters
+    instead; both are capacity heuristics, this one is ~8x cheaper).
+    """
+    block = 128
+    n = black.shape[0]
+    pad = (-n) % block
+    if pad:
+        fillv = jnp.full((pad,), _INT_MAX, jnp.int32)
+        black = jnp.concatenate([black, fillv])
+        white = jnp.concatenate([white, fillv])
+        payload = jnp.concatenate([payload, jnp.zeros((pad,), jnp.int32)])
+    nb = black.shape[0] // block
+    k = min(cap // block, nb)
+    counts = (black != _INT_MAX).reshape(nb, block).sum(axis=1)
+    _, blk_idx = jax.lax.top_k(counts, k)
+    # Row gathers over [nb, 128] (lane-aligned rows): measured ~60x faster
+    # on v5e than the equivalent flat 1D gather of the same elements.
+    return tuple(x.reshape(nb, block)[blk_idx].reshape(-1) for x in (black, white, payload))
+
+
 @partial(
     jax.jit,
     static_argnames=("max_points", "max_clusters", "cluster_points", "min_points"),
@@ -149,7 +179,18 @@ def gradient_clusters(
     """Cluster boundary points for ONE frame ([H, W] inputs); vmap over batch."""
     black, white, payload = extract_boundary_points(tern, labels)
 
-    n = black.shape[0]
+    # --- block-sparse compaction: the dominant cost of this stage was a
+    # 512k-row sort; compacting to the occupied blocks first cuts the sort
+    # (and every scan after it) close to max_points rows. Select 2x
+    # max_points worth of blocks — chosen blocks are rarely full (the
+    # block-count histogram of a noisy frame peaks well under 128), so the
+    # slack keeps sparse-but-real border blocks (e.g. a tag's 2-candidate
+    # side-edge rows) in play; the sort below sinks the invalid lanes and
+    # the post-sort slice discards them ------------------------------------
+    if black.shape[0] > max_points:
+        black, white, payload = _compact_blocks(
+            black, white, payload, 2 * max_points
+        )
 
     # --- sort by (black, white): ONE lexicographic 2-key sort (measured on
     # v5e: a num_keys=2 sort costs the same as a single-key pass, so this
@@ -157,6 +198,13 @@ def gradient_clusters(
     s_black, s_white, s_payload = jax.lax.sort(
         (black, white, payload), dimension=0, is_stable=False, num_keys=2
     )
+    # Invalid candidates carry INT32_MAX keys and sorted to the tail; the
+    # head slice keeps every valid candidate whenever <= max_points exist.
+    if s_black.shape[0] > max_points:
+        s_black = s_black[:max_points]
+        s_white = s_white[:max_points]
+        s_payload = s_payload[:max_points]
+    n = s_black.shape[0]
     s_valid = s_black != _INT_MAX
 
     # --- run-length segmentation with scans (no scatters, no capacity) -----
@@ -212,16 +260,18 @@ def gradient_clusters(
     in_seg = (offs < cnt) & (widx < n)
 
     x2, y2, dir_idx, p_white = _unpack_payload(s_payload[idx_c])
-    dx = _DIR_DX[dir_idx]
-    dy = _DIR_DY[dir_idx]
+    # dir 0 = (0, 1), dir 1 = (1, 0): a select beats a gather from a
+    # 2-element table (tiny-constant gathers measured ~0.8 ms here).
+    dx = jnp.where(dir_idx == 0, 1, 0)
+    dy = jnp.where(dir_idx == 0, 0, 1)
     sign = jnp.where(p_white == 1, -1, 1)  # gradient black -> white
 
     px = x2.astype(jnp.float32) * jnp.float32(0.5)
     py = y2.astype(jnp.float32) * jnp.float32(0.5)
     pgx = (sign * dx).astype(jnp.float32)
     pgy = (sign * dy).astype(jnp.float32)
-    points = jnp.stack([px, py, pgx, pgy], axis=-1)
-    points = jnp.where(in_seg[..., None], points, 0.0)
+    points = jnp.stack([px, py, pgx, pgy], axis=0)  # [4, K, P] channel-first
+    points = jnp.where(in_seg[None], points, 0.0)
 
     valid = top_count >= min_points
     return Clusters(points=points, mask=in_seg, count=top_count, valid=valid)

@@ -32,6 +32,7 @@ from chalkydri_tpu.detector.families import (
     TagFamily,
     load_family,
 )
+from chalkydri_tpu.detector.homography import pack_neighborhood
 from chalkydri_tpu.detector.quad import fit_quads
 from chalkydri_tpu.detector.refine import refine_quads
 from chalkydri_tpu.detector.segment import label_components
@@ -83,6 +84,7 @@ def make_detector(
     max_edge_points: int | None = None,
     max_clusters: int = MAX_CLUSTERS,
     cluster_points: int = MAX_CLUSTER_POINTS,
+    max_quad_candidates: int = 32,
 ):
     """Build a jitted ``detect(gray_batch) -> Detections``.
 
@@ -93,6 +95,12 @@ def make_detector(
     dominant stages — while edge refinement and payload decode sample the
     full-resolution image, recovering sub-pixel corners. The capacity knobs
     trade peak memory/compile size for dense-scene capacity.
+
+    ``max_quad_candidates``: only this many fitted quads (best clusters
+    first) proceed to the bilinear-gather-heavy refine+decode stages. The
+    default 32 covers the worst case exactly: MAX_DETECTIONS=16 tags x 2
+    boundary clusters each (a tag border's black ring pairs with both the
+    outside white region and the inner white cells).
     """
     import os
 
@@ -148,14 +156,26 @@ def make_detector(
             cluster_points=cluster_points,
         )
         quads = fit_quads(clusters.points, clusters.mask, clusters.valid)
+
+        # --- candidate compaction: refine + decode cost is dominated by
+        # bilinear gathers proportional to K; keep only the best
+        # max_quad_candidates quads (valid first, larger clusters first) ----
+        kq = min(max_quad_candidates, quads.valid.shape[0])
+        score = jnp.where(quads.valid, clusters.count, jnp.int32(-1))
+        _, sel = jax.lax.top_k(score, kq)
+        quads = quads._replace(corners=quads.corners[sel], valid=quads.valid[sel])
+
         corners = quads.corners
         if quad_decimate == 2:
             # decimated pixel (i, j) is the mean of full pixels 2i..2i+1 x
             # 2j..2j+1, i.e. its center sits at full coord 2*c + 0.5.
             corners = corners * 2.0 + 0.5
+        # Pack 2x2 neighborhoods once; refine + decode then bilinear-sample
+        # with one gather per sample instead of four (homography.py).
+        packed = pack_neighborhood(gray)
         if refine:
-            corners = refine_quads(gray, corners, quads.valid)
-        dec = decode(gray, corners, quads.valid)  # [K] fields
+            corners = refine_quads(packed, corners, quads.valid)
+        dec = decode(packed, corners, quads.valid)  # [K] fields
 
         # --- rank by decision margin, dedup by tag id ----------------------
         margin = jnp.where(dec.valid, dec.decision_margin, -1.0)

@@ -103,10 +103,10 @@ def _intersect(c1x, c1y, n1x, n1y, c2x, c2y, n2x, n2y):
 
 
 def _fit_quads_core(points: jax.Array, mask: jax.Array, fit_iters: int):
-    """points [K, P, 4] (x, y, gx, gy), mask [K, P] ->
-    (corners [K, 4, 2], valid [K])."""
-    px = points[:, :, 0]  # [K, P]
-    py = points[:, :, 1]
+    """points [4, K, P] channel-first (x, y, gx, gy — see cluster.Clusters),
+    mask [K, P] -> (corners [K, 4, 2], valid [K])."""
+    px = points[0]  # [K, P]
+    py = points[1]
     w = mask.astype(jnp.float32)  # [K, P]
     wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-6)
     ccx = jnp.sum(px * w, axis=-1, keepdims=True) / wsum  # [K, 1]
@@ -187,14 +187,15 @@ def _fit_quads_core(points: jax.Array, mask: jax.Array, fit_iters: int):
 
 def fit_quad(points: jax.Array, mask: jax.Array,
              fit_iters: int = FIT_ITERS) -> tuple[jax.Array, jax.Array]:
-    """Fit one quad to one cluster (points [P, 4], mask [P])."""
-    corners, valid = _fit_quads_core(points[None], mask[None], fit_iters)
+    """Fit one quad to one cluster (points [4, P] channel-first, mask [P])."""
+    corners, valid = _fit_quads_core(points[:, None], mask[None], fit_iters)
     return corners[0], valid[0]
 
 
 @partial(jax.jit, static_argnames=("fit_iters",))
 def fit_quads(points: jax.Array, mask: jax.Array, cluster_valid: jax.Array,
               fit_iters: int = FIT_ITERS) -> Quads:
-    """Fit all clusters of one frame: points [K, P, 4], mask [K, P]."""
+    """Fit all clusters of one frame: points [4, K, P] channel-first,
+    mask [K, P]."""
     corners, valid = _fit_quads_core(points, mask, fit_iters)
     return Quads(corners=corners, valid=valid & cluster_valid)
