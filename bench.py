@@ -89,31 +89,53 @@ def bench_tpu(frames_np):
     frames = jnp.asarray(frames_np)
     gyro = jnp.zeros(BATCH, jnp.float32)
 
-    out = jax.block_until_ready(step(frames, gyro))  # compile
+    out = step(frames, gyro)
     n_det = int(np.asarray(out.detections.valid[0]).sum())
+
+    # Device-true timing: ITERS steps inside ONE lax.scan dispatch with a
+    # per-iteration input perturbation (LSB toggle) so nothing is hoisted,
+    # and a forced host fetch of the reduced result. block_until_ready is
+    # not a reliable completion barrier on remote-tunnel platforms, and
+    # per-dispatch wall timing would include network RTT per iteration.
+    @jax.jit
+    def many(frames, gyro):
+        def body(c, i):
+            f = frames ^ (i % 2).astype(frames.dtype)
+            o = step(f, gyro)
+            leaves = jax.tree_util.tree_leaves(o)
+            s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+            return c + s, None
+        c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))
+        return c
+
+    float(many(frames, gyro))  # compile + drain
+    best = float("inf")
     for _ in range(WARMUP):
-        jax.block_until_ready(step(frames, gyro))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = step(frames, gyro)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / ITERS
-    return BATCH / dt, n_det, str(jax.devices()[0])
+        t0 = time.perf_counter()
+        float(many(frames, gyro))  # fetch forces completion
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    return BATCH / best, n_det, str(jax.devices()[0])
 
 
 def bench_cpu_reference(frame):
-    """OpenCV AprilTag 36h11 detect on the same frame, single process."""
+    """OpenCV AprilTag 36h11 detect on the same frame, single process.
+
+    The per-call MINIMUM over several batches is the denominator: it
+    approximates an unloaded CPU (host load from the test harness inflates
+    means; the min is the machine's honest best, which keeps vs_baseline
+    conservative for us)."""
     import cv2
 
     d = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_APRILTAG_36h11)
     det = cv2.aruco.ArucoDetector(d)
     det.detectMarkers(frame)  # warm
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        corners, ids, _ = det.detectMarkers(frame)
-    dt = (time.perf_counter() - t0) / iters
-    return 1.0 / dt
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            corners, ids, _ = det.detectMarkers(frame)
+        best = min(best, (time.perf_counter() - t0) / 10)
+    return 1.0 / best
 
 
 def main():

@@ -14,8 +14,10 @@ detector's windowed adaptive threshold
   of ``chalkydri-apriltags``'s threshold, lib.rs:319-334).
 
 The whole stage is elementwise + small stencils: XLA fuses it into a couple of
-VPU passes; a hand-written Pallas kernel (ops/pallas/threshold_kernel.py) is
-used on TPU for the fused tile-stat + classify path.
+VPU passes. On TPU the production path fuses this threshold INTO the Pallas
+CCL kernel (ops/pallas/ccl_kernel.threshold_ccl_pallas) so the ternary image
+never round-trips HBM; this jnp version is the CPU/fallback path and the
+golden reference the kernel is tested against.
 """
 
 from __future__ import annotations

@@ -429,3 +429,35 @@ def valid_list_from(out):
         (int(out.ids[0, i]), np.asarray(out.corners[0, i]))
         for i in np.where(v)[0]
     ]
+
+
+class TestFamilyTables:
+    """The committed .npz codebooks must match a fresh regeneration from the
+    canonical family definitions (VERDICT round-1 item 10: drift gate for
+    tools/gen_families.py --check)."""
+
+    @pytest.mark.parametrize("name", ["tag36h11", "tag16h5"])
+    def test_npz_matches_regenerated(self, name):
+        cv2 = pytest.importorskip("cv2")
+        import os
+
+        from chalkydri_tpu.tools.gen_families import (
+            FAMILIES,
+            OUT_DIR,
+            check_min_hamming,
+            extract_family,
+        )
+
+        attr, dim, min_h = FAMILIES[name]
+        fresh = extract_family(cv2, attr, dim)
+        stored = np.load(os.path.join(OUT_DIR, f"{name}.npz"))
+        assert stored["dim"] == dim
+        assert stored["min_hamming"] == min_h
+        assert np.array_equal(stored["codes"], fresh), f"{name} codebook drifted"
+
+    def test_min_hamming_16h5(self):
+        # The cheap family is small enough to verify the 'h5' property here.
+        from chalkydri_tpu.tools.gen_families import check_min_hamming
+
+        fam = load_family("tag16h5")
+        assert check_min_hamming(np.asarray(fam.codes), 4, 5) >= 5
