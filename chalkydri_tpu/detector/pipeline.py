@@ -119,10 +119,19 @@ def make_detector(
         and os.environ.get("CHALKYDRI_NO_PALLAS") != "1"
     )
     if use_pallas:
-        from chalkydri_tpu.ops.pallas.ccl_kernel import threshold_ccl_pallas
+        from chalkydri_tpu.ops.pallas.ccl_kernel import (
+            SINGLE_BLOCK_MAX_PIXELS,
+            threshold_ccl_blocked,
+            threshold_ccl_pallas,
+        )
 
         def threshold_label_fn(small):
-            return threshold_ccl_pallas(small, iters=ccl_iters)
+            # Whole-frame-in-VMEM fused kernel when it fits; row-blocked
+            # kernel + seam merges beyond the budget (e.g. the reference's
+            # 1600x1304 geometry at either decimate setting).
+            if small.shape[1] * small.shape[2] <= SINGLE_BLOCK_MAX_PIXELS:
+                return threshold_ccl_pallas(small, iters=ccl_iters)
+            return threshold_ccl_blocked(small, iters=ccl_iters)
 
     else:
 

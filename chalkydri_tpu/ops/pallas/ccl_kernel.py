@@ -139,13 +139,21 @@ def _neighborhood3_tiles(v, op, row_idx, col_idx, h, w):
     return out
 
 
-def _ccl_from_val(val, h, w, iters, offsets):
-    """Shared CCL body: ternary val [h, w] int32 -> labels int32."""
+def _ccl_from_val(val, h, w, iters, offsets, labels0=None):
+    """Shared CCL body: ternary val [h, w] int32 -> labels int32.
+
+    ``labels0``: optional initial labeling (min-propagation converges from
+    any labeling; the blocked path threads globally-offset labels through
+    repeated invocations). Default: the pixel's own flat index.
+    """
     valid = val != 127
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    flat_idx = row_idx * w + col_idx
-    labels0 = jnp.where(valid, flat_idx, INVALID)
+    if labels0 is None:
+        flat_idx = row_idx * w + col_idx
+        labels0 = jnp.where(valid, flat_idx, INVALID)
+    else:
+        labels0 = jnp.where(valid, labels0, INVALID)
 
     is_white = val == 255
     bits = jnp.zeros((h, w), jnp.int32)
@@ -289,4 +297,191 @@ def threshold_ccl_pallas(gray: jax.Array, iters: int = 12, min_diff: int = 5,
         ),
         interpret=interpret,
     )(gray)
+    return tern, labels
+
+
+# ---------------------------------------------------------------------------
+# Blocked CCL for frames too large for a single-block VMEM kernel
+# ---------------------------------------------------------------------------
+#
+# The fused single-block kernel needs the whole frame resident in VMEM
+# (~45-64 B/pixel live set); beyond ~270k pixels it blows the scoped-VMEM
+# budget (e.g. 656x896 needs 26.75 MB) and Mosaic compile times explode.
+# For the reference's deployed 1600x1304 geometry (chalkydri.ron:7-9) at
+# quad_decimate=1 — and any megapixel frame — the frame is split into
+# aligned ROW BLOCKS:
+#
+#   1. jnp adaptive threshold over the full frame (stencil ops, HBM-bound,
+#      no VMEM pressure),
+#   2. one Pallas pass per block (sequential grid) propagating labels to
+#      block-local convergence from a global flat-index initialization,
+#   3. a jnp seam merge: neighbor-min across each block boundary row
+#      (4-conn all + diagonals white-only, same rule as in-kernel),
+#   4. repeat 2-3 until a fixed point (convergence-gated while_loop; a
+#      component spanning k blocks needs <= k rounds).
+#
+# This is the single-device instance of the SURVEY.md section 5.7 structure:
+# parallel/sharded_stages.py does the same merge over ICI seams between
+# chips; here the seams are VMEM block boundaries on one core.
+
+SINGLE_BLOCK_MAX_PIXELS = 270_000  # fused single-block kernel budget (v5e)
+_BLOCK_PIXEL_BUDGET = 256 * 1024  # per-block pixels for the blocked path
+
+
+def _pick_block_rows(h: int, wp: int) -> int:
+    """Largest 8-multiple row count whose block fits the VMEM budget."""
+    hb = max(8, (_BLOCK_PIXEL_BUDGET // wp) // 8 * 8)
+    return min(h, hb)
+
+
+def _make_prop_kernel(h, w, iters):
+    """CCL propagation kernel taking an initial labeling as input."""
+    offsets = list(_OFFSETS_ALL) + list(_OFFSETS_WHITE)
+
+    def kernel(tern_ref, lab_ref, out_ref):
+        val = tern_ref[:].astype(jnp.int32)
+        out_ref[:] = _ccl_from_val(val, h, w, iters, offsets,
+                                   labels0=lab_ref[:])
+
+    return kernel
+
+
+def _shift_row(x, dx, fill):
+    """Shift [..., W] rows along the last axis with edge fill."""
+    if dx == 0:
+        return x
+    out = jnp.roll(x, dx, axis=-1)
+    if dx > 0:
+        return out.at[..., :dx].set(fill)
+    return out.at[..., dx:].set(fill)
+
+
+def _seam_merge(labels, tern, hb):
+    """Neighbor-min across row-block boundary rows (jnp, cheap: touches
+    2*(k-1) rows). Connectivity matches the kernel: vertical for any same
+    value, diagonals for white pixels only."""
+    b, h, w = labels.shape
+    k = h // hb
+    if k <= 1:
+        return labels
+    lab = labels.reshape(b, k, hb, w)
+    val = tern.reshape(b, k, hb, w)
+    bot_l, top_l = lab[:, :-1, -1], lab[:, 1:, 0]  # [b, k-1, w]
+    bot_v, top_v = val[:, :-1, -1], val[:, 1:, 0]
+
+    def upd(row_l, row_v, o_l, o_v):
+        m = row_l
+        valid = row_v != 127
+        white = row_v == 255
+        for dx in (0, 1, -1):
+            nl = _shift_row(o_l, dx, INVALID)
+            nv = _shift_row(o_v, dx, jnp.uint8(127))
+            same = (nv == row_v) & valid
+            if dx != 0:
+                same = same & white
+            m = jnp.minimum(m, jnp.where(same, nl, INVALID))
+        return m
+
+    new_bot = upd(bot_l, bot_v, top_l, top_v)
+    new_top = upd(top_l, top_v, bot_l, bot_v)
+    lab = lab.at[:, :-1, -1].set(new_bot).at[:, 1:, 0].set(new_top)
+    return lab.reshape(b, h, w)
+
+
+def _blocked_propagate(tern, labels, hb, iters, interpret):
+    b, h, w = tern.shape
+    k = h // hb
+    kernel = _make_prop_kernel(hb, w, iters)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * k,),
+        in_specs=[
+            pl.BlockSpec((None, hb, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, hb, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, hb, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * k, hb, w), jnp.int32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(tern.reshape(b * k, hb, w), labels.reshape(b * k, hb, w))
+    return out.reshape(b, h, w)
+
+
+@partial(jax.jit, static_argnames=("iters", "block_rows", "merge_rounds",
+                                   "interpret"))
+def label_components_blocked_pallas(
+    tern: jax.Array,
+    iters: int = 12,
+    block_rows: int | None = None,
+    merge_rounds: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """CCL over row blocks with seam-merge rounds. tern [B, H, W] u8.
+
+    Labels are flat indices in the PADDED frame (opaque ids — the cluster
+    stage only compares them for equality). Bit-exact component partition
+    vs the single-block path (tests/test_detector.py::TestBlockedCCL).
+    """
+    b, h, w = tern.shape
+    wp = (w + 127) // 128 * 128
+    hb = _pick_block_rows(h, wp) if block_rows is None else block_rows
+    k = -(-h // hb)
+    hp = k * hb
+    if merge_rounds is None:
+        merge_rounds = k
+    if hp != h or wp != w:
+        tern = jnp.pad(tern, ((0, 0), (0, hp - h), (0, wp - w)),
+                       constant_values=127)
+
+    valid = tern != 127
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, hp, wp), 1) * wp
+        + jax.lax.broadcasted_iota(jnp.int32, (b, hp, wp), 2)
+    )
+    labels = jnp.where(valid, flat, INVALID)
+    labels = _blocked_propagate(tern, labels, hb, iters, interpret)
+
+    def cond(c):
+        i, lab, changed = c
+        return (i < merge_rounds) & changed
+
+    def body(c):
+        i, lab, _ = c
+        new = _blocked_propagate(tern, _seam_merge(lab, tern, hb), hb,
+                                 iters, interpret)
+        return i + 1, new, jnp.any(new != lab)
+
+    _, labels, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), labels, jnp.bool_(True))
+    )
+    return labels[:, :h, :w]
+
+
+@partial(jax.jit, static_argnames=("iters", "min_diff", "block_rows",
+                                   "merge_rounds", "interpret"))
+def threshold_ccl_blocked(
+    gray: jax.Array,
+    iters: int = 12,
+    min_diff: int = 5,
+    block_rows: int | None = None,
+    merge_rounds: int | None = None,
+    interpret: bool = False,
+):
+    """Threshold + blocked CCL for frames beyond the single-block VMEM
+    budget. gray [B, H, W] u8 -> (tern u8, labels i32). The threshold runs
+    as fused jnp stencils over the full frame (HBM-bound, identical
+    semantics to detector.threshold.adaptive_threshold, which requires
+    4-multiple dims — pad first if needed)."""
+    from chalkydri_tpu.detector.threshold import adaptive_threshold
+
+    tern = adaptive_threshold(gray, min_diff=min_diff)
+    labels = label_components_blocked_pallas(
+        tern, iters=iters, block_rows=block_rows,
+        merge_rounds=merge_rounds, interpret=interpret,
+    )
     return tern, labels

@@ -461,3 +461,214 @@ class TestFamilyTables:
 
         fam = load_family("tag16h5")
         assert check_min_hamming(np.asarray(fam.codes), 4, 5) >= 5
+
+
+class TestBlockedCCL:
+    """Row-blocked Pallas CCL (ops/pallas/ccl_kernel.py blocked path): the
+    single-device instance of the SURVEY.md section 5.7 seam-merge
+    structure, used for frames beyond the single-block VMEM budget (e.g.
+    the reference's 1600x1304 geometry, chalkydri.ron:7-9)."""
+
+    def _scipy_partition(self, tern):
+        """Ground-truth component ids: white 8-conn, black 4-conn."""
+        from scipy import ndimage
+
+        white = tern == 255
+        black = tern == 0
+        lab_w, n_w = ndimage.label(white, structure=np.ones((3, 3)))
+        lab_b, _ = ndimage.label(black)
+        return np.where(white, lab_w, np.where(black, lab_b + n_w + 1, 0))
+
+    @staticmethod
+    def _partitions_equal(a, b, valid):
+        m, inv = {}, {}
+        for x, y in zip(a[valid].ravel(), b[valid].ravel()):
+            if m.setdefault(x, y) != y:
+                return False
+            if inv.setdefault(y, x) != x:
+                return False
+        return True
+
+    def test_partition_matches_scipy_with_seams(self):
+        from chalkydri_tpu.ops.pallas.ccl_kernel import (
+            INVALID as K_INVALID,
+            label_components_blocked_pallas,
+        )
+
+        canvas, _ = simple_scene(
+            FAM,
+            [(5, axis_aligned_corners(320, 240, 90)),
+             (9, axis_aligned_corners(100, 100, 60))],
+            noise=6.0,
+        )
+        tern = adaptive_threshold(jnp.asarray(canvas)[None])
+        # merge_rounds well past the block count: run to the true global
+        # fixed point so the scipy comparison is exact.
+        blk = np.asarray(
+            label_components_blocked_pallas(
+                tern, iters=16, block_rows=64, merge_rounds=64, interpret=True
+            )
+        )[0]
+        t = np.asarray(tern)[0]
+        ref = self._scipy_partition(t)
+        valid = t != 127
+        assert (blk[valid] != K_INVALID).all()
+        assert (blk[~valid] == K_INVALID).all()
+        assert self._partitions_equal(ref, blk, valid)
+
+    def test_padding_shapes(self):
+        """Arbitrary (non-8/128-aligned) shapes pad internally and labels in
+        the pad stay INVALID and never leak into real components."""
+        from chalkydri_tpu.ops.pallas.ccl_kernel import (
+            INVALID as K_INVALID,
+            label_components_blocked_pallas,
+        )
+
+        rng = np.random.default_rng(3)
+        tern_np = rng.choice(
+            [0, 127, 255], size=(1, 52, 200), p=[0.4, 0.2, 0.4]
+        ).astype(np.uint8)
+        # make the bottom edge solid white: a pad leak would merge it
+        tern_np[0, -1, :] = 255
+        blk = np.asarray(
+            label_components_blocked_pallas(
+                jnp.asarray(tern_np), iters=16, block_rows=24,
+                merge_rounds=16, interpret=True,
+            )
+        )[0]
+        t = tern_np[0]
+        ref = self._scipy_partition(t)
+        valid = t != 127
+        assert blk.shape == t.shape
+        assert (blk[valid] != K_INVALID).all()
+        assert self._partitions_equal(ref, blk, valid)
+
+
+class TestArucoParityCorpus:
+    """Decode/corner parity vs an independent C++ oracle across a corpus of
+    >= 50 rendered scenes with perspective, blur, and noise (VERDICT round-1
+    item 3). The oracle is cv2.aruco's AprilTag3 detector — the same
+    algorithm family the reference consumes via apriltag-sys
+    (crates/apriltags/Cargo.toml:10-11)."""
+
+    N_SCENES = 56
+
+    def _corpus(self):
+        from scipy import ndimage
+
+        rng = np.random.default_rng(20260816)
+        scenes = []
+        for i in range(self.N_SCENES):
+            slots = [(170.0, 240.0), (470.0, 240.0)]
+            n_tags = int(rng.integers(1, 3))
+            placed, used = [], set()
+            for k in range(n_tags):
+                tid = int(rng.integers(0, 587))
+                while tid in used:
+                    tid = int(rng.integers(0, 587))
+                used.add(tid)
+                cx = slots[k][0] + float(rng.uniform(-25, 25))
+                cy = slots[k][1] + float(rng.uniform(-50, 50))
+                half = float(rng.uniform(40, 75))
+                base = axis_aligned_corners(cx, cy, half)
+                base = base + rng.uniform(-0.18 * half, 0.18 * half, (4, 2))
+                placed.append((tid, base.astype(np.float32)))
+            canvas, gts = simple_scene(FAM, placed, seed=1000 + i)
+            blur = float(rng.uniform(0.0, 1.1))
+            if blur > 0.2:
+                canvas = ndimage.gaussian_filter(
+                    canvas.astype(np.float32), blur
+                )
+            noise = float(rng.uniform(0.0, 5.0))
+            if noise > 0:
+                canvas = canvas + rng.normal(0, noise, canvas.shape)
+            canvas = np.clip(canvas, 0, 255).astype(np.uint8)
+            scenes.append((canvas, gts))
+        return scenes
+
+    def test_corpus_vs_aruco(self):
+        cv2 = pytest.importorskip("cv2")
+        scenes = self._corpus()
+        frames = jnp.asarray(np.stack([c for c, _ in scenes]))
+        detect = make_detector()
+        out = detect(frames)  # one batched launch for the whole corpus
+
+        d = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_APRILTAG_36h11)
+        aruco = cv2.aruco.ArucoDetector(d)
+
+        ids_np = np.asarray(out.ids)
+        corners_np = np.asarray(out.corners)
+        valid_np = np.asarray(out.valid)
+
+        n_oracle = n_matched = 0
+        corner_rms = []
+        gt_err = []
+        for s, (canvas, gts) in enumerate(scenes):
+            ours = {
+                int(ids_np[s, i]): corners_np[s, i]
+                for i in np.where(valid_np[s])[0]
+            }
+            ac, aids, _ = aruco.detectMarkers(canvas)
+            theirs = (
+                {int(i): c.reshape(4, 2) for i, c in zip(aids.ravel(), ac)}
+                if aids is not None
+                else {}
+            )
+            for tid, their_c in theirs.items():
+                n_oracle += 1
+                if tid not in ours:
+                    continue
+                n_matched += 1
+                # order-free corner matching (aruco's corner 0 differs):
+                # for each of their corners take our nearest corner.
+                dists = np.linalg.norm(
+                    their_c[:, None, :] - ours[tid][None, :, :], axis=-1
+                )
+                corner_rms.append(np.sqrt((dists.min(axis=1) ** 2).mean()))
+            for tid, gt in gts.items():
+                if tid in ours:
+                    gt_err.append(np.abs(ours[tid] - gt).max())
+
+        assert n_oracle >= 50, f"oracle found only {n_oracle} tags"
+        rate = n_matched / n_oracle
+        assert rate >= 0.95, f"matched {n_matched}/{n_oracle} of oracle's tags"
+        corner_rms = np.array(corner_rms)
+        # The oracle's OWN corners sit ~0.70 px median from exact ground
+        # truth on this corpus (measured: its corner convention/refinement),
+        # so vs-aruco RMS is bounded below by that; gate at 1.0/1.6. The
+        # meaningful sub-pixel gate is vs exact ground truth: < 0.3 px.
+        assert np.median(corner_rms) < 1.0, f"median RMS vs aruco {np.median(corner_rms):.3f}"
+        assert np.quantile(corner_rms, 0.9) < 1.6
+        gt_err = np.array(gt_err)
+        assert np.median(gt_err) < 0.3, f"median err vs ground truth {np.median(gt_err):.3f}"
+
+    def test_decision_margin_scale(self):
+        """decision_margin rides libapriltag's scale: mean |sample - local
+        threshold| over data cells, in intensity units [0, 255]. The margin
+        must track scene contrast ~linearly so user thresholds written for
+        libapriltag (reference: filtered_by_decision_margin,
+        crates/apriltags/src/lib.rs:127-141) carry over."""
+        detect = make_detector()
+        margins = {}
+        for contrast in (1.0, 0.6, 0.3):
+            canvas = np.full((480, 640), 160, np.uint8)
+            sub = np.full((480, 640), 160, np.float32)
+            tmp = np.full((480, 640), 160, np.uint8)
+            from tests.reference_impl.render import place_tag
+
+            place_tag(tmp, FAM, 7, axis_aligned_corners(320, 240, 80))
+            # squeeze contrast about the background level
+            sub = 160 + (tmp.astype(np.float32) - 160) * contrast
+            canvas = np.clip(sub, 0, 255).astype(np.uint8)
+            out = detect(jnp.asarray(canvas)[None])
+            dets = dict(valid_list_from(out))
+            assert 7 in dets
+            i = int(np.where(np.asarray(out.ids[0]) == 7)[0][0])
+            margins[contrast] = float(np.asarray(out.decision_margins[0, i]))
+        # full-contrast tag on this renderer: black ~28, white ~232 ->
+        # margin ~ (232-28)/2 ~ 100
+        assert margins[1.0] > 80.0
+        # linear-ish scaling with contrast (wide tolerance: threshold
+        # adaption interacts at low contrast)
+        assert 0.4 < margins[0.6] / margins[1.0] < 0.8
+        assert 0.15 < margins[0.3] / margins[1.0] < 0.5
