@@ -140,17 +140,18 @@ class _CvCapture:
         else:
             self._cap.set(cv2.CAP_PROP_AUTO_EXPOSURE, 3)
 
+        self._slot = None
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
     def set_exposure(self, value: int) -> None:
         """Runtime exposure update (the AAEC controller's actuator,
         subsystems/aaec.py)."""
         import cv2
 
         self._cap.set(cv2.CAP_PROP_EXPOSURE, float(value))
-        self._slot = None
-        self._lock = threading.Lock()
-        self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
 
     def _loop(self):
         import cv2
@@ -184,6 +185,9 @@ class SyntheticCapture:
     N_PHASES = 24  # pre-rendered animation cycle (rendering 1 MP frames in
     #                numpy per poll would throttle the whole app loop)
 
+    OPTIMAL_EXPOSURE = 100  # exposure at which the synthetic scene's
+    #                         gradient metric peaks (see set_exposure)
+
     def __init__(self, width: int, height: int, fps: float = 30.0,
                  tag_ids=(3, 4), seed: int = 0):
         self.width = max(width, 160) or 640
@@ -192,10 +196,21 @@ class SyntheticCapture:
         self._last_emit = 0
         self._n = 0
         self._tag_ids = tag_ids
+        self.exposure = self.OPTIMAL_EXPOSURE
         from chalkydri_tpu.detector.families import load_family
 
         self._family = load_family("tag36h11")
         self._cycle: list = []
+
+    def set_exposure(self, value: int) -> None:
+        """Synthetic exposure model: emitted pixel = clip(lum * e/100) with
+        scene luminance lum = 20 + 0.85*rendered (a real sensor's black has
+        a photon floor — pure 0 would be exposure-invariant). The Sobel
+        gradient metric is then unimodal in exposure with its peak near
+        OPTIMAL_EXPOSURE: under-exposure compresses contrast, over-exposure
+        saturates blacks and whites alike. Lets the AAEC loop be
+        integration-tested hardware-free."""
+        self.exposure = max(1, int(value))
 
     def latest(self):
         now = time.monotonic_ns() // 1000
@@ -204,13 +219,16 @@ class SyntheticCapture:
         self._last_emit = now
         self._n += 1
         if len(self._cycle) < self.N_PHASES:
-            self._cycle.append(
-                _render_synthetic(
-                    self._family, self.width, self.height, self._tag_ids,
-                    len(self._cycle),
-                )
+            rendered = _render_synthetic(
+                self._family, self.width, self.height, self._tag_ids,
+                len(self._cycle),
             )
-        frame = self._cycle[self._n % len(self._cycle)]
+            # cache scene LUMINANCE (see set_exposure)
+            self._cycle.append(20.0 + 0.85 * rendered.astype(np.float32))
+        lum = self._cycle[self._n % len(self._cycle)]
+        frame = np.clip(
+            lum * (self.exposure / self.OPTIMAL_EXPOSURE), 0, 255
+        ).astype(np.uint8)
         return frame, now
 
     def close(self):

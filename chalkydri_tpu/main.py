@@ -76,22 +76,13 @@ def main(argv=None) -> int:
         cam.subsystems.mjpeg is not None for cam in (config.cameras or [])
     )
     if wants_mjpeg:
-        import cv2
-
         from chalkydri_tpu.io.mjpeg import MjpegServer
-        from chalkydri_tpu.subsystems.monitor import FrameRing
+        from chalkydri_tpu.subsystems.overlay import PreviewOverlay
 
-        ring = FrameRing()
-
-        def observer(cam_id, tov_us, frame):
-            ok, enc = cv2.imencode(
-                ".jpg", frame, [cv2.IMWRITE_JPEG_QUALITY, 50]
-            )
-            if ok:
-                ring.push(tov_us or 0, enc.tobytes())
-
-        app.add_frame_observer(observer)
-        mjpeg_server = MjpegServer(ring, port=args.mjpeg_port or 8080)
+        overlay = PreviewOverlay()
+        app.add_frame_observer(overlay.on_frame)
+        app.add_detection_observer(overlay.on_detections)
+        mjpeg_server = MjpegServer(overlay.ring, port=args.mjpeg_port or 8080)
         mjpeg_server.start()
         print(f"MJPEG preview: http://0.0.0.0:{mjpeg_server.port}/stream",
               file=sys.stderr)

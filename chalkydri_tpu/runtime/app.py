@@ -173,6 +173,30 @@ class App:
         self._in_flight = None
         self._started = False
         self._frame_observers: list = []
+        self._detection_observers: list = []
+
+        # -- AAEC: adaptive active exposure control --------------------------
+        # A graph node of type "Aaec" activates the closed loop (the
+        # reference's intent, crates/aaec/README.md:2): every `period`
+        # iterations, compute the batch Sobel-gradient metric on the staged
+        # frames and hill-climb each camera's manual exposure toward higher
+        # gradient (subsystems/aaec.py; actuator = CamPipeline.set_exposure).
+        self._aaec = None
+        self._aaec_period = 10
+        self._aaec_tick = 0
+        for node in graph.tasks:
+            if node.type in ("Aaec", "aaec::Aaec") and self.fused_chains:
+                from chalkydri_tpu.subsystems.aaec import ExposureController
+
+                self._aaec_period = int(node.config.get("period", 10))
+                self._aaec = {
+                    ch.batch_index: ExposureController(
+                        initial=int(node.config.get("initial", 100)),
+                        step=int(node.config.get("step", 8)),
+                    )
+                    for ch in self.fused_chains
+                }
+                break
 
         # Optional NetworkTables uplink: the reference's robot-visible state
         # schema (book/src/networktables.md:1-30 — Chalkydri/Robot/Position,
@@ -242,6 +266,32 @@ class App:
         """Register ``fn(cam_id, tov_us, frame)`` called on every fresh frame
         (drives the MJPEG preview and custom host-side consumers)."""
         self._frame_observers.append(fn)
+
+    def add_detection_observer(self, fn) -> None:
+        """Register ``fn(cam_id, ids, corners, margins)`` called with each
+        published batch's detections (numpy arrays, invalid slots dropped).
+        Drives the preview overlay (subsystems/overlay.py) and rerun-style
+        consumers. Registering one adds a detections fetch to the publish
+        path (~16 x 11 floats per camera)."""
+        self._detection_observers.append(fn)
+
+    def _run_aaec(self) -> None:
+        """One AAEC control step over the staged frame batch."""
+        import jax
+        import jax.numpy as jnp
+
+        from chalkydri_tpu.subsystems.aaec import compute_exposure_gradients
+
+        metrics = jax.device_get(
+            compute_exposure_gradients(jnp.asarray(self._frames_buf))
+        )
+        for ch in self.fused_chains:
+            if not ch.fresh:
+                continue
+            ctl = self._aaec.get(ch.batch_index)
+            if ctl is None:
+                continue
+            ch.camera.set_exposure(ctl.update(float(metrics[ch.batch_index])))
 
     @staticmethod
     def _fetch_small(out):
@@ -319,6 +369,11 @@ class App:
             with span("app.capture"):
                 self._poll_cameras()
             any_fresh = any(ch.fresh for ch in self.fused_chains)
+            if self._aaec is not None and any_fresh:
+                self._aaec_tick += 1
+                if self._aaec_tick % self._aaec_period == 0:
+                    with span("app.aaec"):
+                        self._run_aaec()
             dispatched = None
             if any_fresh:
                 gyro_val = self._comm.gyro_angle()
@@ -343,6 +398,20 @@ class App:
                     for b, ch in enumerate(self.fused_chains):
                         fresh, tov = states[b]
                         self._publish_with(ch, host_out, b, fresh, tov)
+                if self._detection_observers:
+                    import jax
+
+                    det = out.detections
+                    ids, corners, margins, valid = jax.device_get(
+                        (det.ids, det.corners, det.decision_margins, det.valid)
+                    )
+                    for b, ch in enumerate(self.fused_chains):
+                        if not states[b][0]:
+                            continue
+                        keep = valid[b]
+                        for obs in self._detection_observers:
+                            obs(ch.cam_id, ids[b][keep], corners[b][keep],
+                                margins[b][keep])
             else:
                 for ch in self.fused_chains:
                     self._publish_with(ch, None, 0, False, ch.last_tov)

@@ -4,6 +4,7 @@ loop with synthetic cameras + UDP loopback, unified log record/replay."""
 import os
 import socket
 import struct
+import time
 
 import numpy as np
 import pytest
@@ -252,6 +253,87 @@ class TestMixedGeometry:
             # The small camera's detections come from the padded canvas.
             counts = np.asarray(out.detections.valid).sum(axis=-1)
             assert counts.max() >= 1
+        finally:
+            app.stop_all_tasks()
+            comm.close()
+
+
+class TestAaecLoop:
+    """AAEC wired into the running graph (VERDICT round-1 item 7): an 'Aaec'
+    graph node closes the loop frame-metric -> ExposureController ->
+    CamPipeline.set_exposure. The synthetic camera models exposure (linear
+    gain + clipping, gradient peak at OPTIMAL_EXPOSURE), so the hill climb
+    must walk a badly over-exposed camera back toward the optimum."""
+
+    def test_exposure_converges_toward_optimum(self, tiny_layout):
+        from chalkydri_tpu.io.camera import SyntheticCapture
+
+        g = _mini_graph(n_cams=1)
+        d = g.to_dict()
+        d["tasks"].append({"id": "aaec", "type": "Aaec",
+                           "config": {"period": 1, "step": 24}})
+        g = TaskGraph.from_dict(d)
+        comm = Comm(remote_addr="127.0.0.1", remote_port=18630,
+                    gyro_port=18631, use_native=False)
+        app = App(g, field_layout=tiny_layout, comm=comm,
+                  detector_kwargs=dict(max_edge_points=8192, max_clusters=16,
+                                       cluster_points=256))
+        try:
+            assert app._aaec is not None, "Aaec node not wired"
+            app.start_all_tasks()
+            cap = app.fused_chains[0].camera._cap
+            assert isinstance(cap, SyntheticCapture)
+            start = 400  # badly over-exposed: most pixels saturate
+            cap.set_exposure(start)
+            app._aaec[0].exposure = start
+            for _ in range(40):
+                app.run_one_iteration()
+                time.sleep(0.002)  # let the synthetic camera emit frames
+            final = cap.exposure
+            err0 = abs(start - SyntheticCapture.OPTIMAL_EXPOSURE)
+            err1 = abs(final - SyntheticCapture.OPTIMAL_EXPOSURE)
+            assert err1 < err0 * 0.5, (
+                f"exposure did not converge: {start} -> {final}"
+            )
+        finally:
+            app.stop_all_tasks()
+            comm.close()
+
+
+class TestDetectionOverlay:
+    def test_overlay_draws_detections(self, tiny_layout):
+        """Detection observers fire with device-fetched corners and the
+        overlay draws visible annotations onto the preview frame
+        (rerun-parity, VERDICT round-1 item 5)."""
+        pytest.importorskip("cv2")
+        from chalkydri_tpu.subsystems.overlay import PreviewOverlay
+
+        comm = Comm(remote_addr="127.0.0.1", remote_port=18640,
+                    gyro_port=18641, use_native=False)
+        app = App(_mini_graph(n_cams=1), field_layout=tiny_layout, comm=comm,
+                  detector_kwargs=dict(max_edge_points=8192, max_clusters=16,
+                                       cluster_points=256))
+        overlay = PreviewOverlay()
+        app.add_frame_observer(overlay.on_frame)
+        app.add_detection_observer(overlay.on_detections)
+        try:
+            app.start_all_tasks()
+            for _ in range(10):
+                app.run_one_iteration()
+                time.sleep(0.002)
+            assert overlay._latest_dets, "no detections reached the overlay"
+            cam_id, (ids, corners, margins) = next(
+                iter(overlay._latest_dets.items())
+            )
+            assert len(ids) >= 1 and corners.shape[1:] == (4, 2)
+            frame = np.full((240, 320), 150, np.uint8)
+            annotated = overlay.annotate(cam_id, frame)
+            assert annotated.shape == (240, 320, 3)
+            # green quad outline must actually be drawn
+            g_only = (annotated[:, :, 1] > 200) & (annotated[:, :, 0] < 60)
+            assert g_only.sum() > 50
+            # and the ring received a JPEG via on_frame
+            assert len(overlay.ring) >= 1
         finally:
             app.stop_all_tasks()
             comm.close()
