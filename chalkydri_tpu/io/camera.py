@@ -315,3 +315,104 @@ class CamPipeline:
         if self._cap is not None:
             self._cap.close()
             self._cap = None
+
+
+# ---------------------------------------------------------------------------
+# Device capability enumeration (configurator caps parity)
+# ---------------------------------------------------------------------------
+#
+# The reference queries GStreamer device caps and lets the operator pick a
+# supported (format, resolution, framerate) combination
+# (``crates/configurator/src/main.rs:518-568``). Equivalent here via raw
+# V4L2 ioctls (VIDIOC_ENUM_FMT / _FRAMESIZES / _FRAMEINTERVALS) — no
+# GStreamer, no cv2, just fcntl on the device node. Absent devices fall
+# back to a synthetic caps list so the configurator stays scriptable in CI.
+
+_VIDIOC_ENUM_FMT = 0xC0405702
+_VIDIOC_ENUM_FRAMESIZES = 0xC02C564A
+_VIDIOC_ENUM_FRAMEINTERVALS = 0xC034564B
+_V4L2_BUF_TYPE_VIDEO_CAPTURE = 1
+_FRMSIZE_TYPE_DISCRETE = 1
+_FRMIVAL_TYPE_DISCRETE = 1
+
+SYNTHETIC_CAPS = [
+    {"format": "SYNT", "width": w, "height": h, "fps": [30.0, 60.0]}
+    for (w, h) in [(640, 480), (1280, 720), (1280, 800), (1600, 1304),
+                   (1920, 1080)]
+]
+
+
+def _fourcc_str(v: int) -> str:
+    return bytes((v >> s) & 0xFF for s in (0, 8, 16, 24)).decode(
+        "ascii", "replace"
+    )
+
+
+def query_caps(node: str) -> list[dict]:
+    """Enumerate a V4L2 capture device's formats/sizes/rates.
+
+    Returns [{"format", "width", "height", "fps": [floats]}, ...]; the
+    SYNTHETIC_CAPS list when the node can't be opened (absent device).
+    """
+    import fcntl
+    import struct as _st
+
+    try:
+        fd = os.open(node, os.O_RDWR | os.O_NONBLOCK)
+    except OSError:
+        return list(SYNTHETIC_CAPS)
+    caps = []
+    try:
+        fidx = 0
+        while fidx < 64:
+            # struct v4l2_fmtdesc: index, type, flags, description[32],
+            # pixelformat, mbus_code, reserved[3]
+            buf = bytearray(_st.pack("<III32sIIII", fidx,
+                                     _V4L2_BUF_TYPE_VIDEO_CAPTURE,
+                                     0, b"", 0, 0, 0, 0))
+            try:
+                fcntl.ioctl(fd, _VIDIOC_ENUM_FMT, buf)
+            except OSError:
+                break
+            pixfmt = _st.unpack_from("<I", buf, 44)[0]
+            sidx = 0
+            while sidx < 64:
+                # struct v4l2_frmsizeenum: index, pixel_format, type,
+                # union(24 bytes), reserved[2]
+                sbuf = bytearray(_st.pack("<III24xII", sidx, pixfmt, 0, 0, 0))
+                try:
+                    fcntl.ioctl(fd, _VIDIOC_ENUM_FRAMESIZES, sbuf)
+                except OSError:
+                    break
+                stype = _st.unpack_from("<I", sbuf, 8)[0]
+                if stype != _FRMSIZE_TYPE_DISCRETE:
+                    break  # stepwise: report the max as one cap
+                w, h = _st.unpack_from("<II", sbuf, 12)
+                fps = []
+                iidx = 0
+                while iidx < 16:
+                    # struct v4l2_frmivalenum: index, pixel_format, width,
+                    # height, type, union(24), reserved[2]
+                    ibuf = bytearray(
+                        _st.pack("<IIIII24xII", iidx, pixfmt, w, h, 0, 0, 0)
+                    )
+                    try:
+                        fcntl.ioctl(fd, _VIDIOC_ENUM_FRAMEINTERVALS, ibuf)
+                    except OSError:
+                        break
+                    itype = _st.unpack_from("<I", ibuf, 16)[0]
+                    if itype != _FRMIVAL_TYPE_DISCRETE:
+                        break
+                    num, den = _st.unpack_from("<II", ibuf, 20)
+                    if num:
+                        fps.append(round(den / num, 2))
+                    iidx += 1
+                caps.append(
+                    {"format": _fourcc_str(pixfmt), "width": int(w),
+                     "height": int(h), "fps": fps}
+                )
+                sidx += 1
+            fidx += 1
+    finally:
+        os.close(fd)
+    return caps or list(SYNTHETIC_CAPS)

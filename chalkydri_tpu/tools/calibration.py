@@ -296,10 +296,14 @@ class Calibrator:
     (``configurator/src/calibration.rs:30-143``): feed frames, accumulate
     features, then solve with up to MAX_ATTEMPTS."""
 
-    def __init__(self, detector=None, board=None):
+    def __init__(self, detector=None, board=None, monitor=None):
         self.features: list[FrameFeature] = []
         self.board = board or aprilgrid_board_corners()
         self._detector = detector
+        # Optional CalibrationMonitor (subsystems/calib_viz.py): per-frame
+        # corner/coverage streaming — the reference's rerun point logging
+        # (configurator/src/calibration.rs:91-98).
+        self.monitor = monitor
 
     def _detect(self, frame: np.ndarray):
         import jax.numpy as jnp
@@ -318,7 +322,10 @@ class Calibrator:
         """Detect the board in a frame; returns True if it contributed."""
         ids, corners = self._detect(frame)
         feat = feature_from_detections(ids, corners, self.board)
-        if feat is None:
+        accepted = feat is not None
+        if self.monitor is not None:
+            self.monitor.on_frame(frame, ids, corners, accepted)
+        if not accepted:
             return False
         self.features.append(feat)
         return True
@@ -327,7 +334,10 @@ class Calibrator:
         last_err = None
         for attempt in range(MAX_ATTEMPTS):
             try:
-                return calibrate_camera(self.features)
+                result = calibrate_camera(self.features)
+                if self.monitor is not None:
+                    self.monitor.on_result(result.rms_px, result.n_frames)
+                return result
             except (ValueError, np.linalg.LinAlgError) as e:  # noqa: PERF203
                 last_err = e
         raise RuntimeError(f"calibration failed after {MAX_ATTEMPTS} attempts: {last_err}")

@@ -113,8 +113,16 @@ def generate_graph(state: ConfiguratorState):
     )
 
 
+def _print_caps(caps: list[dict]) -> None:
+    """Device caps listing like the reference's caps picker
+    (configurator/src/main.rs:518-568)."""
+    for j, c in enumerate(caps):
+        fps = "/".join(str(f) for f in c["fps"]) or "?"
+        print(f"    ({j}) {c['format']} {c['width']}x{c['height']} @ {fps} fps")
+
+
 def cmd_configure(args) -> int:
-    from chalkydri_tpu.io.camera import PROVIDER
+    from chalkydri_tpu.io.camera import PROVIDER, SYNTHETIC_CAPS, query_caps
 
     state = ConfiguratorState.load(args.state)
     PROVIDER.refresh()
@@ -123,15 +131,30 @@ def cmd_configure(args) -> int:
         print("no cameras found", file=sys.stderr)
     for i, (dev_id, node) in enumerate(sorted(devices.items())):
         print(f"[{i}] {dev_id} ({node})")
+        _print_caps(query_caps(node))
 
     if args.name and args.device is not None:
         entry = state.entry(args.name)
         entry.name = args.name
         entry.device_id = args.device
+        node = devices.get(args.device, args.device)
+        caps = query_caps(node) if os.path.exists(node) else list(SYNTHETIC_CAPS)
         if args.width:
             entry.width = args.width
         if args.height:
             entry.height = args.height
+        # Validate the chosen geometry against the device's actual caps
+        # (synthetic caps accept anything in CI / absent-device flows).
+        is_synthetic = all(c["format"] == "SYNT" for c in caps)
+        if not is_synthetic and not any(
+            c["width"] == entry.width and c["height"] == entry.height
+            for c in caps
+        ):
+            print(
+                f"warning: {entry.width}x{entry.height} not in device caps; "
+                "supported:", file=sys.stderr,
+            )
+            _print_caps(caps)
         if args.cam_id is not None:
             entry.cam_id = args.cam_id
         if args.offsets:
@@ -189,7 +212,20 @@ def cmd_calibrate(args) -> int:
         synthetic_ok=args.allow_synthetic,
     )
     cam.start(clock)
-    calib = Calibrator()
+
+    # Live calibration view (corner coverage + reprojection progress) —
+    # the reference's rerun stream (calibration.rs:91-98), served as MJPEG.
+    monitor = viz_server = None
+    if args.viz_port is not None:
+        from chalkydri_tpu.io.mjpeg import MjpegServer
+        from chalkydri_tpu.subsystems.calib_viz import CalibrationMonitor
+
+        monitor = CalibrationMonitor()
+        viz_server = MjpegServer(monitor.ring, port=args.viz_port)
+        viz_server.start()
+        print(f"calibration view: http://0.0.0.0:{viz_server.port}/stream",
+              file=sys.stderr)
+    calib = Calibrator(monitor=monitor)
     collected = 0
     import time
 
@@ -204,6 +240,8 @@ def cmd_calibrate(args) -> int:
             print(f"\rframes: {collected}/{args.frames}", end="", flush=True)
     print()
     cam.stop(clock)
+    if viz_server is not None and collected < 3:
+        viz_server.stop()
     if collected < 3:
         print("not enough board views", file=sys.stderr)
         return 1
@@ -215,6 +253,8 @@ def cmd_calibrate(args) -> int:
     print(f"calibrated {args.name}: rms={result.rms_px:.3f}px over "
           f"{result.n_frames} frames")
     print(entry.calib)
+    if viz_server is not None:
+        viz_server.stop()
     return 0
 
 
@@ -241,6 +281,8 @@ def main(argv=None) -> int:
     k.add_argument("--name")
     k.add_argument("--timeout", type=float, default=120.0)
     k.add_argument("--allow-synthetic", action="store_true")
+    k.add_argument("--viz-port", dest="viz_port", type=int, default=None,
+                   help="serve live calibration coverage view (MJPEG)")
     k.set_defaults(fn=cmd_calibrate)
 
     args = p.parse_args(argv)
