@@ -13,10 +13,14 @@ This module implements the NT4 wire protocol with the standard library only:
 - NT4 text frames: JSON arrays of {method, params} (publish/announce/...),
 - NT4 binary frames: MessagePack-encoded [topic_uid, timestamp_us, type, value]
   (a minimal msgpack codec for the types NT uses is included),
-- publish-only client API: ``NT4Client.publish(topic, value)`` for
-  double/boolean/string, plus ``set_many`` batching,
-- ``MiniNTServer``: a loopback server accepting announces + value frames —
-  the test double standing in for the robot-side NT server (the reference's
+- client API: ``NT4Client.publish(topic, value)`` for double/boolean/string
+  plus ``set_many`` batching; ``subscribe(prefixes, callback)`` with a
+  reader thread handling announce/value frames; NT4 RTT time sync (pubuid
+  -1 ping/echo) so published timestamps ride the SERVER clock
+  (``server_time_us()``) like the wpilib client,
+- ``MiniNTServer``: a loopback server accepting announces + value frames,
+  answering RTT pings, and fanning values out to subscribers — the test
+  double standing in for the robot-side NT server (the reference's
   ``tools/ntserver.py`` plays this role with pyntcore).
 """
 
@@ -192,12 +196,14 @@ def _ws_recv(sock: socket.socket):
 
 
 class NT4Client:
-    """Publish-oriented NT4 client.
+    """NT4 client: publish, subscribe, and RTT time sync.
 
     Usage: ``NT4Client(server_ip).connect(); client.publish("/topic", 1.0)``.
-    Values are timestamped with the local monotonic microsecond clock (no
-    RTT sync in this minimal client; the robot-side consumer uses server
-    receipt ordering)."""
+    A reader thread (started by connect) handles announce/value frames and
+    RTT echoes. Published values are stamped with ``server_time_us()`` —
+    the local monotonic clock corrected by the NT4 RTT handshake (pubuid
+    -1 ping, offset = server_ts + rtt/2 - local), matching the wpilib
+    nt_client the reference links (Cargo.toml:40)."""
 
     def __init__(self, host: str, port: int = NT_PORT,
                  identity: str = "chalkydri-tpu"):
@@ -208,11 +214,27 @@ class NT4Client:
         self._next_uid = 1
         self._lock = threading.Lock()
         self._t0 = time.monotonic_ns()
+        # subscribe state
+        self._subs: dict[int, tuple] = {}  # subuid -> (prefixes, callback)
+        self._announced: dict[int, tuple[str, str]] = {}  # id -> (name, type)
+        self.values: dict[str, tuple[Any, int]] = {}  # name -> (value, ts)
+        self._values_lock = threading.Lock()
+        # RTT sync state
+        self._offset_us = 0
+        self._rtt_us: Optional[int] = None
+        self._rtt_event = threading.Event()
+        self._reader: Optional[threading.Thread] = None
+        self._stop = threading.Event()
 
     def _now_us(self) -> int:
         return (time.monotonic_ns() - self._t0) // 1000
 
-    def connect(self, timeout: float = 3.0) -> None:
+    def server_time_us(self) -> int:
+        """Local monotonic clock shifted onto the server's timebase (0 until
+        the first successful rtt_sync)."""
+        return self._now_us() + self._offset_us
+
+    def connect(self, timeout: float = 3.0, sync: bool = True) -> None:
         sock = socket.create_connection((self.host, self.port), timeout=timeout)
         key = base64.b64encode(os.urandom(16)).decode()
         req = (
@@ -232,8 +254,115 @@ class NT4Client:
             resp += chunk
         if b"101" not in resp.split(b"\r\n", 1)[0]:
             raise ConnectionError(f"handshake rejected: {resp[:100]!r}")
-        sock.settimeout(timeout)
+        sock.settimeout(0.2)
         self._sock = sock
+        self._stop.clear()
+        self._reader = threading.Thread(
+            target=self._reader_loop, daemon=True, name="nt4-reader"
+        )
+        self._reader.start()
+        if sync:
+            self.rtt_sync()
+
+    # -- reader -------------------------------------------------------------
+
+    def _reader_loop(self) -> None:
+        while not self._stop.is_set() and self._sock is not None:
+            try:
+                opcode, payload = _ws_recv(self._sock)
+            except socket.timeout:
+                continue
+            except (ConnectionError, OSError):
+                return
+            if opcode == 0x8:
+                return
+            if opcode == 0x9:  # ping -> pong
+                with self._lock:
+                    _ws_send(self._sock, payload, opcode=0xA, mask=True)
+            elif opcode == 0x1:
+                try:
+                    msgs = json.loads(payload.decode())
+                except ValueError:
+                    continue
+                for msg in msgs:
+                    if msg.get("method") == "announce":
+                        p = msg["params"]
+                        self._announced[p["id"]] = (p["name"], p.get("type", ""))
+                    elif msg.get("method") == "unannounce":
+                        self._announced.pop(msg["params"].get("id"), None)
+            elif opcode == 0x2:
+                off = 0
+                while off < len(payload):
+                    try:
+                        obj, off = msgpack_decode(payload, off)
+                        tid, ts, _vt, value = obj
+                    except (ValueError, IndexError, TypeError):
+                        break
+                    if tid == -1:  # RTT echo: value = our original send time
+                        now = self._now_us()
+                        rtt = now - int(value)
+                        self._rtt_us = rtt
+                        self._offset_us = int(ts) + rtt // 2 - now
+                        self._rtt_event.set()
+                        continue
+                    name = self._announced.get(tid, (f"id{tid}", ""))[0]
+                    with self._values_lock:
+                        self.values[name] = (value, int(ts))
+                    for prefixes, cb in list(self._subs.values()):
+                        if cb and any(name.startswith(p) for p in prefixes):
+                            cb(name, value, int(ts))
+
+    # -- RTT time sync --------------------------------------------------------
+
+    def rtt_sync(self, timeout: float = 1.0) -> Optional[int]:
+        """One NT4 RTT ping (binary frame to topic -1). Returns the measured
+        round trip in microseconds (None on timeout) and updates the server
+        clock offset used by server_time_us()."""
+        if self._sock is None:
+            raise ConnectionError("not connected")
+        self._rtt_event.clear()
+        with self._lock:
+            payload = msgpack_encode([-1, 0, NT_TYPES["double"],
+                                      float(self._now_us())])
+            _ws_send(self._sock, payload, opcode=0x2, mask=True)
+        if self._rtt_event.wait(timeout):
+            return self._rtt_us
+        return None
+
+    # -- subscribe ------------------------------------------------------------
+
+    def subscribe(self, prefixes: list[str], callback=None,
+                  options: Optional[dict] = None) -> int:
+        """Subscribe to topic prefixes; values land in ``self.values`` and
+        (optionally) fire ``callback(name, value, server_ts_us)``."""
+        if self._sock is None:
+            raise ConnectionError("not connected")
+        subuid = self._next_uid
+        self._next_uid += 1
+        opts = {"prefix": True}
+        if options:
+            opts.update(options)
+        msg = [{"method": "subscribe",
+                "params": {"topics": list(prefixes), "subuid": subuid,
+                           "options": opts}}]
+        self._subs[subuid] = (list(prefixes), callback)
+        with self._lock:
+            _ws_send(self._sock, json.dumps(msg).encode(), opcode=0x1, mask=True)
+        return subuid
+
+    def unsubscribe(self, subuid: int) -> None:
+        self._subs.pop(subuid, None)
+        if self._sock is not None:
+            msg = [{"method": "unsubscribe", "params": {"subuid": subuid}}]
+            with self._lock:
+                _ws_send(self._sock, json.dumps(msg).encode(), opcode=0x1,
+                         mask=True)
+
+    def get(self, topic: str, default=None):
+        """Latest subscribed value for a topic (or default)."""
+        with self._values_lock:
+            v = self.values.get(topic)
+        return v[0] if v is not None else default
 
     def _announce_pub(self, topic: str, nt_type: str) -> int:
         uid = self._next_uid
@@ -260,7 +389,7 @@ class NT4Client:
         with self._lock:
             uid = self._pubs.get(topic) or self._announce_pub(topic, nt_type)
             payload = msgpack_encode(
-                [uid, self._now_us(), NT_TYPES[nt_type], value]
+                [uid, self.server_time_us(), NT_TYPES[nt_type], value]
             )
             _ws_send(self._sock, payload, opcode=0x2, mask=True)
 
@@ -269,11 +398,15 @@ class NT4Client:
             self.publish(k, v)
 
     def close(self) -> None:
+        self._stop.set()
         if self._sock is not None:
             try:
-                _ws_send(self._sock, b"", opcode=0x8, mask=True)
+                with self._lock:
+                    _ws_send(self._sock, b"", opcode=0x8, mask=True)
             except OSError:
                 pass
+            if self._reader is not None and self._reader.is_alive():
+                self._reader.join(timeout=1.0)
             self._sock.close()
             self._sock = None
 
@@ -283,8 +416,31 @@ class NT4Client:
 # ---------------------------------------------------------------------------
 
 
+class _ServerConn:
+    """One connected client: socket + send lock + subscriptions."""
+
+    def __init__(self, conn: socket.socket):
+        self.conn = conn
+        self.send_lock = threading.Lock()
+        self.pub_names: dict[int, str] = {}  # client pubuid -> topic name
+        self.sub_prefixes: dict[int, list[str]] = {}  # subuid -> prefixes
+        self.announced_ids: set[int] = set()
+
+    def send(self, payload: bytes, opcode: int) -> None:
+        with self.send_lock:
+            _ws_send(self.conn, payload, opcode=opcode, mask=False)
+
+    def wants(self, name: str) -> bool:
+        return any(
+            name.startswith(p)
+            for prefixes in self.sub_prefixes.values()
+            for p in prefixes
+        )
+
+
 class MiniNTServer:
-    """Accepts NT4 clients and records published values."""
+    """Accepts NT4 clients, records published values, answers RTT pings,
+    and fans values out to subscribers (announce + binary value frames)."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -294,9 +450,57 @@ class MiniNTServer:
         self.port = self._srv.getsockname()[1]
         self.topics: dict[int, str] = {}
         self.values: dict[str, Any] = {}
+        # server-assigned topic ids + full topic records for subscriptions
+        self._topic_ids: dict[str, int] = {}
+        self._topic_meta: dict[str, tuple[int, Any, int]] = {}  # name -> (type, value, ts)
+        self._next_topic_id = 1
+        self._conns: list[_ServerConn] = []
+        self._t0 = time.monotonic_ns()
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._accept_loop, daemon=True)
+
+    def _now_us(self) -> int:
+        return (time.monotonic_ns() - self._t0) // 1000
+
+    def _topic_id(self, name: str) -> int:
+        tid = self._topic_ids.get(name)
+        if tid is None:
+            tid = self._next_topic_id
+            self._next_topic_id += 1
+            self._topic_ids[name] = tid
+        return tid
+
+    @staticmethod
+    def _type_name(vtype: int) -> str:
+        for k, v in NT_TYPES.items():
+            if v == vtype:
+                return k
+        return "double"
+
+    def _announce_to(self, c: _ServerConn, name: str, vtype: int) -> None:
+        tid = self._topic_id(name)
+        if tid in c.announced_ids:
+            return
+        c.announced_ids.add(tid)
+        msg = [{"method": "announce",
+                "params": {"name": name, "id": tid,
+                           "type": self._type_name(vtype), "properties": {}}}]
+        c.send(json.dumps(msg).encode(), opcode=0x1)
+
+    def _fan_out(self, name: str, vtype: int, value, ts: int,
+                 origin: _ServerConn) -> None:
+        with self._lock:
+            conns = list(self._conns)
+        for c in conns:
+            if c is origin or not c.wants(name):
+                continue
+            try:
+                self._announce_to(c, name, vtype)
+                payload = msgpack_encode([self._topic_id(name), ts, vtype, value])
+                c.send(payload, opcode=0x2)
+            except (OSError, ConnectionError):
+                continue
 
     def start(self):
         self._thread.start()
@@ -338,6 +542,9 @@ class MiniNTServer:
                 ).encode()
             )
             conn.settimeout(0.2)
+            c = _ServerConn(conn)
+            with self._lock:
+                self._conns.append(c)
             while not self._stop.is_set():
                 try:
                     opcode, payload = _ws_recv(conn)
@@ -347,18 +554,51 @@ class MiniNTServer:
                     return
                 if opcode == 0x8:  # close
                     return
-                if opcode == 0x1:  # text: publish announcements
+                if opcode == 0x1:  # text: publish/subscribe control
                     for msg in json.loads(payload.decode()):
-                        if msg.get("method") == "publish":
-                            p = msg["params"]
+                        method = msg.get("method")
+                        p = msg.get("params", {})
+                        if method == "publish":
                             with self._lock:
                                 self.topics[p["pubuid"]] = p["name"]
-                elif opcode == 0x2:  # binary: value
+                            c.pub_names[p["pubuid"]] = p["name"]
+                        elif method == "subscribe":
+                            c.sub_prefixes[p["subuid"]] = list(p["topics"])
+                            # immediately replay matching cached topics
+                            with self._lock:
+                                cached = list(self._topic_meta.items())
+                            for name, (vtype, value, ts) in cached:
+                                if c.wants(name):
+                                    self._announce_to(c, name, vtype)
+                                    c.send(
+                                        msgpack_encode(
+                                            [self._topic_id(name), ts, vtype,
+                                             value]
+                                        ),
+                                        opcode=0x2,
+                                    )
+                        elif method == "unsubscribe":
+                            c.sub_prefixes.pop(p.get("subuid"), None)
+                elif opcode == 0x2:  # binary: value or RTT ping
                     uid, ts, vtype, value = msgpack_decode(payload)[0]
+                    if uid == -1:  # RTT ping: echo with server receipt time
+                        c.send(
+                            msgpack_encode(
+                                [-1, self._now_us(), NT_TYPES["double"], value]
+                            ),
+                            opcode=0x2,
+                        )
+                        continue
+                    name = c.pub_names.get(uid) or self.topics.get(
+                        uid, f"uid{uid}"
+                    )
                     with self._lock:
-                        name = self.topics.get(uid, f"uid{uid}")
                         self.values[name] = value
+                        self._topic_meta[name] = (vtype, value, int(ts))
+                    self._fan_out(name, vtype, value, int(ts), origin=c)
         finally:
+            with self._lock:
+                self._conns = [x for x in self._conns if x.conn is not conn]
             conn.close()
 
     def stop(self):
