@@ -12,6 +12,7 @@ Run:  python -m chalkydri_tpu.main [--graph chalkydri.ron] [--config path]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 BANNER = r"""
@@ -32,9 +33,28 @@ def main(argv=None) -> int:
                    help="serve a driver-station MJPEG preview on this port")
     p.add_argument("--no-synthetic", action="store_true",
                    help="fail instead of synthesizing frames for absent cameras")
+    p.add_argument("--cache-dir", default=None,
+                   help="persistent XLA compilation cache directory "
+                        "(default ~/.cache/chalkydri-tpu; 'none' disables)")
     args = p.parse_args(argv)
 
     print(BANNER, file=sys.stderr)
+
+    # Persistent compilation cache: the deployment story is systemd
+    # Restart=always (build/chalkydri-tpu.service) — without a cache every
+    # restart pays the full ~30-60 s fused-program compile before the first
+    # pose goes out. With it, warm restarts reload the compiled executable
+    # in seconds.
+    cache_dir = args.cache_dir or os.environ.get(
+        "CHALKYDRI_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "chalkydri-tpu"),
+    )
+    if cache_dir and cache_dir.lower() != "none":
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from chalkydri_tpu.io.config import Cfg, Config
     from chalkydri_tpu.runtime.graph import TaskGraph
