@@ -245,7 +245,25 @@ class App:
 
     def _poll_cameras(self) -> None:
         for ch in self.fused_chains:
-            msg = ch.camera.process(self.clock)
+            try:
+                msg = ch.camera.process(self.clock)
+            except Exception:
+                # A dying capture backend (device yanked mid-read, driver
+                # error) must degrade like an absent camera — skip this
+                # iteration and let the next poll re-open (the reference
+                # tolerates absent devices the same way, pipeline.rs:274-331).
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "camera %s poll failed; treating as absent",
+                    ch.cam_id, exc_info=True,
+                )
+                try:
+                    ch.camera.stop(self.clock)
+                except Exception:
+                    pass
+                ch.fresh = False
+                continue
             if msg.payload is None:
                 ch.fresh = False
                 continue

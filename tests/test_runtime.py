@@ -337,3 +337,56 @@ class TestDetectionOverlay:
         finally:
             app.stop_all_tasks()
             comm.close()
+
+
+class TestCameraFailureMidRun:
+    def test_dying_capture_degrades_not_crashes(self, tiny_layout):
+        """A capture backend that starts raising mid-run (device yanked)
+        must degrade like an absent camera — heartbeats continue, the loop
+        survives, and the camera can come back (SURVEY.md section 5.3)."""
+        comm = Comm(remote_addr="127.0.0.1", remote_port=18650,
+                    gyro_port=18651, use_native=False)
+        app = App(_mini_graph(n_cams=2), field_layout=tiny_layout, comm=comm,
+                  detector_kwargs=dict(max_edge_points=8192, max_clusters=16,
+                                       cluster_points=256))
+        try:
+            app.start_all_tasks()
+            for _ in range(3):
+                app.run_one_iteration()
+                time.sleep(0.002)
+
+            class DyingCap:
+                def latest(self):
+                    raise OSError("device disappeared")
+
+                def close(self):
+                    pass
+
+            victim = app.fused_chains[0]
+            # phase 1: capture dies AND no fallback exists -> stays absent
+            victim.camera._synthetic_ok = False
+            victim.camera._cap = DyingCap()
+            fresh_seen = False
+            others_fresh = False
+            for _ in range(6):
+                app.run_one_iteration()  # must not raise
+                fresh_seen = fresh_seen or victim.fresh
+                others_fresh = others_fresh or any(
+                    ch.fresh for ch in app.fused_chains if ch is not victim
+                )
+                time.sleep(0.002)
+            assert not fresh_seen, "dead camera still reported fresh frames"
+            assert others_fresh, "healthy camera starved by the dead one"
+            # phase 2: device "replugged" (fallback allowed again) -> the
+            # absent-camera reopen path brings frames back
+            victim.camera._synthetic_ok = True
+            deadline = time.time() + 3
+            recovered = False
+            while time.time() < deadline and not recovered:
+                app.run_one_iteration()
+                recovered = victim.fresh
+                time.sleep(0.005)
+            assert recovered, "camera did not recover after failure"
+        finally:
+            app.stop_all_tasks()
+            comm.close()

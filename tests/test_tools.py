@@ -103,6 +103,25 @@ class TestMlSubsys:
         assert float(t.last_output) == 4.0
 
 
+class TestMlExample:
+    def test_disk_finder_via_model_spec(self):
+        """The example model resolves through MlSubsys's import-spec config
+        (the MlSubsys {} slot surface) and localizes a rendered disk."""
+        from chalkydri_tpu.runtime.clock import RobotClock, Stamped, Tov
+        from chalkydri_tpu.subsystems.ml import MlSubsys
+
+        t = MlSubsys(config={"model": "examples.ml_subsystem:model"})
+        rng = np.random.default_rng(3)
+        frame = rng.normal(120, 10, (240, 320)).astype(np.float32)
+        yy, xx = np.mgrid[:240, :320]
+        frame[(xx - 211) ** 2 + (yy - 87) ** 2 <= 20 * 20] = 235
+        frame = np.clip(frame, 0, 255).astype(np.uint8)
+        t.process(RobotClock(), Stamped(frame, Tov(0)))
+        out = t.last_output
+        assert abs(float(out["x"]) - 211) <= 3
+        assert abs(float(out["y"]) - 87) <= 3
+
+
 class TestUpdate:
     def test_scan_and_stage(self, tmp_path):
         from chalkydri_tpu.utils.update import scan_for_updates, stage_update
