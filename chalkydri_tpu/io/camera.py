@@ -142,22 +142,30 @@ class _CvCapture:
 
         self._slot = None
         self._lock = threading.Lock()
+        # serializes VideoCapture access: cv2 documents concurrent
+        # read()/set() on one capture as not thread-safe
+        self._cap_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def set_exposure(self, value: int) -> None:
         """Runtime exposure update (the AAEC controller's actuator,
-        subsystems/aaec.py)."""
+        subsystems/aaec.py). Forces manual exposure mode first: V4L2
+        drivers silently drop CAP_PROP_EXPOSURE writes while in auto mode
+        (V4L2 convention: 1 = manual, 3 = aperture-priority auto)."""
         import cv2
 
-        self._cap.set(cv2.CAP_PROP_EXPOSURE, float(value))
+        with self._cap_lock:
+            self._cap.set(cv2.CAP_PROP_AUTO_EXPOSURE, 1)
+            self._cap.set(cv2.CAP_PROP_EXPOSURE, float(value))
 
     def _loop(self):
         import cv2
 
         while not self._stop.is_set():
-            ok, frame = self._cap.read()
+            with self._cap_lock:
+                ok, frame = self._cap.read()
             if not ok:
                 time.sleep(0.05)
                 continue
@@ -386,7 +394,18 @@ def query_caps(node: str) -> list[dict]:
                     break
                 stype = _st.unpack_from("<I", sbuf, 8)[0]
                 if stype != _FRMSIZE_TYPE_DISCRETE:
-                    break  # stepwise: report the max as one cap
+                    # STEPWISE/CONTINUOUS (common on UVC cams): report the
+                    # max geometry as one cap, then stop enumerating sizes.
+                    # struct v4l2_frmsize_stepwise: min_w, max_w, step_w,
+                    # min_h, max_h, step_h at the union offset.
+                    _minw, maxw, _sw, _minh, maxh, _sh = _st.unpack_from(
+                        "<6I", sbuf, 12
+                    )
+                    caps.append(
+                        {"format": _fourcc_str(pixfmt), "width": int(maxw),
+                         "height": int(maxh), "fps": []}
+                    )
+                    break
                 w, h = _st.unpack_from("<II", sbuf, 12)
                 fps = []
                 iidx = 0

@@ -310,7 +310,18 @@ class NT4Client:
                         self.values[name] = (value, int(ts))
                     for prefixes, cb in list(self._subs.values()):
                         if cb and any(name.startswith(p) for p in prefixes):
-                            cb(name, value, int(ts))
+                            try:
+                                cb(name, value, int(ts))
+                            except Exception:
+                                # A throwing user callback must not kill the
+                                # reader thread (no more values, no RTT, no
+                                # pongs -> the server drops the connection).
+                                import logging
+
+                                logging.getLogger(__name__).warning(
+                                    "NT subscribe callback raised for %s",
+                                    name, exc_info=True,
+                                )
 
     # -- RTT time sync --------------------------------------------------------
 
@@ -464,12 +475,15 @@ class MiniNTServer:
         return (time.monotonic_ns() - self._t0) // 1000
 
     def _topic_id(self, name: str) -> int:
-        tid = self._topic_ids.get(name)
-        if tid is None:
-            tid = self._next_topic_id
-            self._next_topic_id += 1
-            self._topic_ids[name] = tid
-        return tid
+        # Called from multiple per-client handler threads: the
+        # check-then-assign must be atomic or two topics can get one id.
+        with self._lock:
+            tid = self._topic_ids.get(name)
+            if tid is None:
+                tid = self._next_topic_id
+                self._next_topic_id += 1
+                self._topic_ids[name] = tid
+            return tid
 
     @staticmethod
     def _type_name(vtype: int) -> str:

@@ -424,8 +424,16 @@ def label_components_blocked_pallas(
     """CCL over row blocks with seam-merge rounds. tern [B, H, W] u8.
 
     Labels are flat indices in the PADDED frame (opaque ids — the cluster
-    stage only compares them for equality). Bit-exact component partition
-    vs the single-block path (tests/test_detector.py::TestBlockedCCL).
+    stage only compares them for equality). The merge loop is
+    convergence-gated and exits at the global fixed point; ``merge_rounds``
+    is the latency CAP. Each round moves min-label information across at
+    least one seam along its path, so a component needs as many rounds as
+    the fewest seam crossings on a path from its min-label pixel — for
+    pathological serpentine shapes that can exceed the block count. The
+    default cap 4*k + 2 covers every realistic scene (tag borders cross a
+    seam at most twice); raise it (tests use 64) to guarantee the exact
+    partition on adversarial inputs (tests/test_detector.py::TestBlockedCCL
+    asserts scipy-exact partitions at that setting).
     """
     b, h, w = tern.shape
     wp = (w + 127) // 128 * 128
@@ -433,7 +441,7 @@ def label_components_blocked_pallas(
     k = -(-h // hb)
     hp = k * hb
     if merge_rounds is None:
-        merge_rounds = k
+        merge_rounds = 4 * k + 2
     if hp != h or wp != w:
         tern = jnp.pad(tern, ((0, 0), (0, hp - h), (0, wp - w)),
                        constant_values=127)
