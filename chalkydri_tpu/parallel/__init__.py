@@ -7,4 +7,5 @@ from chalkydri_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     replicated,
 )
+from chalkydri_tpu.parallel.pipeline import make_sharded_vision_pipeline  # noqa: F401
 from chalkydri_tpu.parallel.sharded_stages import sharded_adaptive_threshold  # noqa: F401

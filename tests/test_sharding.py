@@ -104,3 +104,45 @@ class TestShardedCCL:
         tern_s = jax.device_put(np.asarray(tern), frame_sharding(mesh8, spatial=True))
         out = np.asarray(sharded_label_components(tern_s, mesh8, iters=24))
         np.testing.assert_array_equal(out, ref)
+
+
+class TestShardedVisionPipeline:
+    def test_matches_unsharded_step(self, mesh8):
+        """The public multi-chip pipeline (parallel/pipeline.py) over the
+        8-device mesh produces the same detections and consistent poses as
+        the single-device step on identical frames (geometrically true
+        scene: rendered from actual field tag positions)."""
+        import __graft_entry__ as ge
+        from chalkydri_tpu.parallel.pipeline import make_sharded_vision_pipeline
+        from chalkydri_tpu.pipeline import build_rig_from_config, make_vision_pipeline
+
+        layout, cams = ge._tiny_rig(jnp.float32)
+        params, rc = build_rig_from_config(cams * 4, layout)
+        frames_np = ge._render_scene(layout, 4)
+        gyro_np = np.zeros(4, np.float32)
+
+        kw = dict(detector_kwargs=dict(max_edge_points=4096, max_clusters=16,
+                                       cluster_points=128))
+        ref_step = make_vision_pipeline(layout, params, rc, **kw)
+        ref = ref_step(jnp.asarray(frames_np), jnp.asarray(gyro_np))
+
+        step, place = make_sharded_vision_pipeline(layout, params, rc, mesh8, **kw)
+        out = step(*place(frames_np, gyro_np))
+
+        # detections shard over 'data': 4 frames over 4 data shards
+        shard_shapes = {s.data.shape for s in out.pose_x.addressable_shards}
+        assert shard_shapes == {(1,)}
+
+        np.testing.assert_array_equal(np.asarray(out.detections.ids),
+                                      np.asarray(ref.detections.ids))
+        assert np.asarray(out.pose_valid).all()
+        assert np.asarray(ref.pose_valid).all()
+        # both must recover the true robot pose (well-conditioned scene)
+        true_xy = np.asarray(ge._ROBOT[:2])
+        for o in (out, ref):
+            xy = np.stack([np.asarray(o.pose_x), np.asarray(o.pose_y)], -1)
+            assert np.abs(xy - true_xy).max() < 0.25
+        np.testing.assert_allclose(np.asarray(out.pose_x),
+                                   np.asarray(ref.pose_x), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(out.pose_y),
+                                   np.asarray(ref.pose_y), atol=2e-3)
