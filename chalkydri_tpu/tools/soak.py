@@ -1,0 +1,180 @@
+"""Soak test: run the production loop for a while and report health.
+
+Competition matches are ~2:30 but the coprocessor runs all event long; this
+tool drives the real App loop (synthetic cameras by default, real ones when
+present) and reports sustained iteration rate, publish counts, latency
+percentiles, memory stability (RSS drift), and span timings — the numbers
+an operator checks before trusting a setup.
+
+Run:  python -m chalkydri_tpu.tools.soak [--seconds 60] [--graph g.ron]
+      [--cams N] [--width W] [--height H]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def _default_graph(n_cams: int, width: int, height: int):
+    from chalkydri_tpu.runtime.graph import TaskGraph
+
+    calib = {
+        "fx": width * 0.86, "fy": width * 0.86,
+        "cx": width / 2, "cy": height / 2,
+        "k1": 0, "k2": 0, "p1": 0, "p2": 0, "k3": 0,
+        "width": width, "height": height,
+    }
+    tasks, cnx = [], []
+    for i in range(n_cams):
+        tasks.append({"id": f"camera_{i}", "type": "CamPipeline",
+                      "config": {"id": f"soak-missing-{i}", "name": f"cam{i}",
+                                 "width": width, "height": height}})
+        tasks.append({
+            "id": f"apriltags_{i}", "type": "chalkydri_apriltags::AprilTags",
+            "config": {
+                "cam_id": i,
+                "calib": json.dumps({"OpenCVModel5": calib}),
+                "robot_to_cam": json.dumps(
+                    {"roll": 0, "pitch": 0, "yaw": 0, "x": 0, "y": 0, "z": 0.5}
+                ),
+            },
+        })
+        cnx.append({"src": f"camera_{i}", "dst": f"apriltags_{i}", "msg": "f"})
+    return TaskGraph.from_dict(
+        {"tasks": tasks, "cnx": cnx,
+         "resources": [{"id": "comm", "provider": "whacknet::CommBundle"}]}
+    )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="chalkydri-soak", description=__doc__)
+    p.add_argument("--seconds", type=float, default=60.0)
+    p.add_argument("--graph", default=None, help="RON graph (default: synthetic)")
+    p.add_argument("--cams", type=int, default=2)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--field", default=None)
+    p.add_argument("--rate", type=float, default=None, help="Hz cap")
+    p.add_argument("--json", action="store_true", help="one-line JSON report")
+    args = p.parse_args(argv)
+
+    import socket
+
+    import numpy as np
+
+    from chalkydri_tpu.io.whacknet import Comm, decode_measurement
+    from chalkydri_tpu.runtime.app import App
+    from chalkydri_tpu.runtime.graph import TaskGraph
+    from chalkydri_tpu.utils.tracing import SPANS
+
+    # loopback robot endpoint so publish really exercises the wire path
+    rio = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rio.bind(("127.0.0.1", 0))
+    rio.setblocking(False)
+    port = rio.getsockname()[1]
+
+    graph = (
+        TaskGraph.load(args.graph) if args.graph
+        else _default_graph(args.cams, args.width, args.height)
+    )
+    layout = None
+    if args.field:
+        import jax.numpy as jnp
+
+        from chalkydri_tpu.geometry.field_layout import load_field_layout
+
+        layout = load_field_layout(args.field, dtype=jnp.float32)
+    else:
+        import jax.numpy as jnp
+
+        from chalkydri_tpu.geometry.field_layout import parse_field_layout
+
+        tags = [{"ID": t, "pose": {
+            "translation": {"x": 10, "y": 4, "z": 1},
+            "rotation": {"quaternion": {"W": 0, "X": 0, "Y": 0, "Z": 1}}}}
+            for t in (3, 4)]
+        layout = parse_field_layout(
+            {"tags": tags, "field": {"length": 16.5, "width": 8.0}},
+            dtype=jnp.float32,
+        )
+
+    comm = Comm(remote_addr="127.0.0.1", remote_port=port, gyro_port=0,
+                use_native=False)
+    app = App(graph, field_layout=layout, comm=comm)
+    app.start_all_tasks()
+
+    iter_times = []
+    rx_packets = 0
+    rx_with_tags = 0
+    rss0 = None
+    t_end = None  # set after the first iteration: the soak window measures
+    #               steady state, not the one-time jit compile
+    period = 1.0 / args.rate if args.rate else 0.0
+    print(f"soaking for {args.seconds:.0f}s ...", file=sys.stderr)
+    try:
+        while t_end is None or time.monotonic() < t_end:
+            t0 = time.monotonic()
+            app.run_one_iteration()
+            iter_times.append(time.monotonic() - t0)
+            if t_end is None:
+                t_end = time.monotonic() + args.seconds
+            if rss0 is None and len(iter_times) == 10:
+                rss0 = _rss_mb()  # after warmup/compile
+            while True:
+                try:
+                    data, _ = rio.recvfrom(64)
+                except BlockingIOError:
+                    break
+                rx_packets += 1
+                _, _, _, _, n = decode_measurement(data)
+                rx_with_tags += int(n > 0)
+            if period:
+                dt = time.monotonic() - t0
+                if dt < period:
+                    time.sleep(period - dt)
+    finally:
+        app.stop_all_tasks()
+        comm.close()
+        rio.close()
+
+    # drop compile iterations when the run is long enough to have any left
+    warm = iter_times[5:] if len(iter_times) > 6 else iter_times
+    it = np.array(warm if warm else [float("nan")])
+    rss1 = _rss_mb()
+    report = {
+        "iterations": len(iter_times),
+        "sustained_hz": round(1.0 / max(float(np.median(it)), 1e-9), 1),
+        "iter_ms_p50": round(float(np.median(it)) * 1000, 2),
+        "iter_ms_p99": round(float(np.quantile(it, 0.99)) * 1000, 2),
+        "packets_rx": rx_packets,
+        "packets_with_tags": rx_with_tags,
+        "rss_mb_start": round(rss0 or 0.0, 1),
+        "rss_mb_end": round(rss1, 1),
+        "rss_drift_mb": round(rss1 - (rss0 or rss1), 1),
+        "spans": {
+            k: {kk: round(vv, 2) for kk, vv in v.items()}
+            for k, v in SPANS.summary().items()
+        },
+    }
+    if args.json:
+        print(json.dumps(report))
+    else:
+        for k, v in report.items():
+            print(f"{k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

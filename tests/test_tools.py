@@ -136,3 +136,18 @@ class TestUpdate:
         assert len(found) == 1 and found[0].version == "1.2.0"
         staged = stage_update(found[0], str(tmp_path / "staging"))
         assert os.path.exists(os.path.join(staged, "payload.bin"))
+
+
+class TestSoak:
+    def test_short_soak_reports_health(self, capsys):
+        from chalkydri_tpu.tools.soak import main as soak_main
+
+        rc = soak_main(["--seconds", "3", "--cams", "1", "--width", "320",
+                        "--height", "240", "--json"])
+        assert rc == 0
+        import json as _json
+
+        report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert report["iterations"] >= 2
+        assert report["packets_rx"] >= 1  # wire path exercised
+        assert "app.dispatch" in report["spans"]
