@@ -91,12 +91,18 @@ def _sample_grids(family: TagFamily):
 
 
 def _fit_linear_model(xy: jax.Array, values: jax.Array):
-    """Least-squares fit v ~ a + b x + c y. xy [S, 2], values [S]."""
+    """Least-squares fit v ~ a + b x + c y. xy [S, 2], values [S].
+
+    The 3x3 normal matrix is SPD (+ ridge), so the no-pivot solve applies
+    (jnp.linalg.solve's pivoted LU is latency-bound on TPU, ops/linalg.py).
+    """
+    from chalkydri_tpu.ops.linalg import spd_solve
+
     ones = jnp.ones_like(values)
     a = jnp.stack([ones, xy[..., 0], xy[..., 1]], axis=-1)  # [S, 3]
     ata = a.T @ a + 1e-6 * jnp.eye(3, dtype=values.dtype)
     atb = a.T @ values
-    return jnp.linalg.solve(ata, atb)  # [3]
+    return spd_solve(ata, atb)  # [3]
 
 
 def _eval_linear(coef: jax.Array, xy: jax.Array) -> jax.Array:

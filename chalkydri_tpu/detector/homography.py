@@ -29,13 +29,29 @@ def homography_from_corners(corners: jax.Array) -> jax.Array:
 
     corners: [4, 2] image corners ordered to match TAG_CORNERS.
     Returns H [3, 3] with H[2,2] = 1.
+
+    The 8x8 DLT system is solved via SPD normal equations after Hartley
+    normalization of the pixel side (shift to the centroid, scale mean
+    corner distance to sqrt(2)): the source side is already the unit
+    square, so the normalized system is well-conditioned (cond ~ 10) and
+    the normal equations are safe in f32 — while avoiding the pivoted 8x8
+    LU that is latency-bound on TPU (ops/linalg.py).
     """
-    src = TAG_CORNERS.astype(corners.dtype)
+    from chalkydri_tpu.ops.linalg import lstsq_spd
+
+    dtype = corners.dtype
+    src = TAG_CORNERS.astype(dtype)
+    centroid = corners.mean(axis=0)
+    scale = jnp.sqrt(jnp.asarray(2.0, dtype)) / jnp.maximum(
+        jnp.mean(jnp.linalg.norm(corners - centroid, axis=-1)), 1e-6
+    )
+    norm = (corners - centroid) * scale  # normalized pixel corners
+
     rows = []
     rhs = []
     for i in range(4):
         x, y = src[i, 0], src[i, 1]
-        u, v = corners[i, 0], corners[i, 1]
+        u, v = norm[i, 0], norm[i, 1]
         rows.append(
             jnp.stack([x, y, jnp.ones_like(x), jnp.zeros_like(x),
                        jnp.zeros_like(x), jnp.zeros_like(x), -u * x, -u * y])
@@ -48,9 +64,17 @@ def homography_from_corners(corners: jax.Array) -> jax.Array:
         rhs.append(v)
     a = jnp.stack(rows)  # [8, 8]
     b = jnp.stack(rhs)  # [8]
-    h8 = jnp.linalg.solve(a, b)
-    h = jnp.concatenate([h8, jnp.ones_like(h8[:1])]).reshape(3, 3)
-    return h
+    h8 = lstsq_spd(a, b)
+    hn = jnp.concatenate([h8, jnp.ones_like(h8[:1])]).reshape(3, 3)
+    # Denormalize: pixels = T^-1 @ normalized, T^-1 = [[1/s,0,cx],[0,1/s,cy],[0,0,1]]
+    inv_s = 1.0 / scale
+    t_inv = jnp.array(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], dtype
+    )
+    t_inv = t_inv.at[0, 0].set(inv_s).at[1, 1].set(inv_s)
+    t_inv = t_inv.at[0, 2].set(centroid[0]).at[1, 2].set(centroid[1])
+    h = t_inv @ hn
+    return h / h[2, 2]
 
 
 def apply_homography(h: jax.Array, pts: jax.Array) -> jax.Array:

@@ -1,0 +1,45 @@
+"""Small-matrix linear algebra shaped for TPU latency.
+
+``jnp.linalg.solve``'s partial-pivoted LU is latency-bound on TPU for the
+small batched systems this framework solves (measured v5e: 0.7 ms for one
+batched 15x15 solve, 0.77 ms for 128x 8x8 — the pivot search is scalar
+work). SPD systems don't need pivoting, so an unrolled no-pivot
+elimination is pure vectorized VPU work; non-SPD least-squares problems
+become SPD via their (conditioned) normal equations.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def spd_solve(a: jax.Array, b: jax.Array) -> jax.Array:
+    """No-pivot Gaussian elimination for small SPD systems.
+
+    a: [..., n, n], b: [..., n]; n small and static. SPD (or any strongly
+    diagonally-dominant) matrices are stable without pivoting.
+    """
+    n = a.shape[-1]
+    m = jnp.concatenate([a, b[..., None]], axis=-1)  # [..., n, n+1]
+    for k in range(n):
+        piv = m[..., k, k:k + 1]
+        piv = jnp.where(jnp.abs(piv) < 1e-30, 1e-30, piv)
+        row = m[..., k, :] / piv
+        m = m.at[..., k, :].set(row)
+        col = m[..., :, k:k + 1]
+        elim = m - col * row[..., None, :]
+        keep = jax.lax.broadcasted_iota(jnp.int32, m.shape[-2:], 0) == k
+        m = jnp.where(keep, m, elim)
+    return m[..., :, -1]
+
+
+def lstsq_spd(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Least-squares via SPD normal equations: solve (a^T a) x = a^T b.
+
+    Only for well-conditioned a (normalize your problem first — the normal
+    equations square the condition number).
+    """
+    ata = jnp.einsum("...ij,...ik->...jk", a, a)
+    atb = jnp.einsum("...ij,...i->...j", a, b)
+    return spd_solve(ata, atb)

@@ -27,6 +27,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+# spd_solve lives in ops/linalg (shared with the homography/decode fits);
+# re-exported here because the Schur KKT below is its original use.
+from chalkydri_tpu.ops.linalg import spd_solve  # noqa: F401
 from chalkydri_tpu.utils.precision import highest_precision
 
 MAX_ITER = 15
@@ -157,26 +160,6 @@ def constraints_and_jacobian(r: jax.Array):
     return h, jac
 
 
-def spd_solve(a: jax.Array, b: jax.Array) -> jax.Array:
-    """No-pivot Gaussian elimination for small SPD systems.
-
-    ``jnp.linalg.solve``'s partial-pivoted LU is latency-bound on TPU
-    (~0.7 ms for one batched 15x15 solve on v5e — pivot search is scalar
-    work); SPD systems don't need pivoting, so this unrolled elimination is
-    pure vectorized VPU work. a: [..., n, n], b: [..., n]; n small, static.
-    """
-    n = a.shape[-1]
-    m = jnp.concatenate([a, b[..., None]], axis=-1)  # [..., n, n+1]
-    for k in range(n):
-        piv = m[..., k, k:k + 1]
-        piv = jnp.where(jnp.abs(piv) < 1e-30, 1e-30, piv)
-        row = m[..., k, :] / piv
-        m = m.at[..., k, :].set(row)
-        col = m[..., :, k:k + 1]
-        elim = m - col * row[..., None, :]
-        keep = jax.lax.broadcasted_iota(jnp.int32, m.shape[-2:], 0) == k
-        m = jnp.where(keep, m, elim)
-    return m[..., :, -1]
 
 
 def regularized_omega_inv(omega: jax.Array, eps_rel: float = 1e-4):
