@@ -33,6 +33,7 @@ from chalkydri_tpu.detector.homography import (
     bilinear_sample,
     homography_from_corners,
 )
+from chalkydri_tpu.ops.linalg import spd_solve
 
 
 class Decoded(NamedTuple):
@@ -95,13 +96,16 @@ def _fit_linear_model(xy: jax.Array, values: jax.Array):
 
     The 3x3 normal matrix is SPD (+ ridge), so the no-pivot solve applies
     (jnp.linalg.solve's pivoted LU is latency-bound on TPU, ops/linalg.py).
+    Products at HIGHEST precision: TPU's default bf16 matmul would corrupt
+    the intensity model at the [0, 255] x tag-coordinate scale.
     """
-    from chalkydri_tpu.ops.linalg import spd_solve
-
+    hp = jax.lax.Precision.HIGHEST
     ones = jnp.ones_like(values)
     a = jnp.stack([ones, xy[..., 0], xy[..., 1]], axis=-1)  # [S, 3]
-    ata = a.T @ a + 1e-6 * jnp.eye(3, dtype=values.dtype)
-    atb = a.T @ values
+    ata = jnp.matmul(a.T, a, precision=hp) + 1e-6 * jnp.eye(
+        3, dtype=values.dtype
+    )
+    atb = jnp.matmul(a.T, values, precision=hp)
     return spd_solve(ata, atb)  # [3]
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from chalkydri_tpu.ops.linalg import lstsq_spd
+
 # Tag-frame corners in the order the quad fitter emits them (BL, BR, TR, TL
 # in image terms for an upright tag).
 TAG_CORNERS = jnp.array(
@@ -37,8 +39,6 @@ def homography_from_corners(corners: jax.Array) -> jax.Array:
     the normal equations are safe in f32 — while avoiding the pivoted 8x8
     LU that is latency-bound on TPU (ops/linalg.py).
     """
-    from chalkydri_tpu.ops.linalg import lstsq_spd
-
     dtype = corners.dtype
     src = TAG_CORNERS.astype(dtype)
     centroid = corners.mean(axis=0)
@@ -66,14 +66,18 @@ def homography_from_corners(corners: jax.Array) -> jax.Array:
     b = jnp.stack(rhs)  # [8]
     h8 = lstsq_spd(a, b)
     hn = jnp.concatenate([h8, jnp.ones_like(h8[:1])]).reshape(3, 3)
-    # Denormalize: pixels = T^-1 @ normalized, T^-1 = [[1/s,0,cx],[0,1/s,cy],[0,0,1]]
+    # Denormalize: pixels = T^-1 @ normalized with
+    # T^-1 = [[1/s, 0, cx], [0, 1/s, cy], [0, 0, 1]] — composed ELEMENTWISE,
+    # not as a matmul: TPU matmuls default to bf16, which would quantize the
+    # pixel-scale translation (centroid up to ~1600) to ~4 px steps and
+    # shift every decode sample by pixels (utils/precision.py documents the
+    # same hazard for the solver path).
     inv_s = 1.0 / scale
-    t_inv = jnp.array(
-        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], dtype
-    )
-    t_inv = t_inv.at[0, 0].set(inv_s).at[1, 1].set(inv_s)
-    t_inv = t_inv.at[0, 2].set(centroid[0]).at[1, 2].set(centroid[1])
-    h = t_inv @ hn
+    h = jnp.stack([
+        hn[0] * inv_s + centroid[0] * hn[2],
+        hn[1] * inv_s + centroid[1] * hn[2],
+        hn[2],
+    ])
     return h / h[2, 2]
 
 

@@ -38,8 +38,11 @@ def lstsq_spd(a: jax.Array, b: jax.Array) -> jax.Array:
     """Least-squares via SPD normal equations: solve (a^T a) x = a^T b.
 
     Only for well-conditioned a (normalize your problem first — the normal
-    equations square the condition number).
+    equations square the condition number). The products force HIGHEST
+    precision: TPU matmuls default to bf16, which would void the f32
+    conditioning argument (cost is negligible at these sizes).
     """
-    ata = jnp.einsum("...ij,...ik->...jk", a, a)
-    atb = jnp.einsum("...ij,...i->...j", a, b)
+    hp = jax.lax.Precision.HIGHEST
+    ata = jnp.einsum("...ij,...ik->...jk", a, a, precision=hp)
+    atb = jnp.einsum("...ij,...i->...j", a, b, precision=hp)
     return spd_solve(ata, atb)

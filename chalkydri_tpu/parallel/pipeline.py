@@ -44,9 +44,10 @@ def make_sharded_vision_pipeline(
 
     ``step`` is the same fused program as ``make_vision_pipeline``'s; GSPMD
     partitions it from the input shardings ``place`` commits. The batch B
-    (camera count, possibly x frames-in-flight) must divide the 'data' axis
-    size. ``place(frames, gyro)`` device_puts host arrays with the right
-    shardings — call it once per iteration with fresh capture data.
+    (camera count, possibly x frames-in-flight) must be a MULTIPLE of the
+    'data' axis size. ``place(frames, gyro)`` device_puts host arrays with
+    the right shardings — call it once per iteration with fresh capture
+    data.
     """
     n_data = mesh.shape["data"]
     b = camera_params.shape[0]

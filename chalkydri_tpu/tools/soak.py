@@ -130,8 +130,9 @@ def main(argv=None) -> int:
             iter_times.append(time.monotonic() - t0)
             if t_end is None:
                 t_end = time.monotonic() + args.seconds
-            if rss0 is None and len(iter_times) == 10:
-                rss0 = _rss_mb()  # after warmup/compile
+                rss0 = _rss_mb()  # baseline right after the compile iter
+            if len(iter_times) == 10:
+                rss0 = _rss_mb()  # refine after warmup when we get there
             while True:
                 try:
                     data, _ = rio.recvfrom(64)
@@ -144,13 +145,16 @@ def main(argv=None) -> int:
                 dt = time.monotonic() - t0
                 if dt < period:
                     time.sleep(period - dt)
+    except KeyboardInterrupt:
+        # an interrupted long soak still reports on what it collected
+        print("interrupted — reporting partial soak", file=sys.stderr)
     finally:
         app.stop_all_tasks()
         comm.close()
         rio.close()
 
     # drop compile iterations when the run is long enough to have any left
-    warm = iter_times[5:] if len(iter_times) > 6 else iter_times
+    warm = iter_times[5:] if len(iter_times) > 5 else iter_times
     it = np.array(warm if warm else [float("nan")])
     rss1 = _rss_mb()
     report = {

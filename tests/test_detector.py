@@ -672,3 +672,28 @@ class TestArucoParityCorpus:
         # adaption interacts at low contrast)
         assert 0.4 < margins[0.6] / margins[1.0] < 0.8
         assert 0.15 < margins[0.3] / margins[1.0] < 0.5
+
+
+class TestHomographyPrecision:
+    def test_exact_under_bf16_default_matmul(self):
+        """TPU matmuls default to bf16; the homography's pixel-scale math
+        must not route through default-precision matmuls (a t_inv @ hn
+        compose once quantized far-from-origin translations to ~4 px).
+        Simulate the TPU default on CPU and require sub-0.02 px mapping."""
+        import jax
+
+        from chalkydri_tpu.detector.homography import (
+            TAG_CORNERS,
+            apply_homography,
+            homography_from_corners,
+        )
+
+        corners = jnp.asarray(
+            [[1554.0, 1234.0], [1634.0, 1234.0], [1634.0, 1154.0],
+             [1554.0, 1154.0]], jnp.float32
+        )
+        with jax.default_matmul_precision("bfloat16"):
+            h = homography_from_corners(corners)
+            mapped = apply_homography(h, TAG_CORNERS)
+        err = float(jnp.max(jnp.abs(mapped - corners)))
+        assert err < 0.02, f"homography pixel error {err:.3f}px under bf16"
