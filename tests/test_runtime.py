@@ -390,3 +390,37 @@ class TestCameraFailureMidRun:
         finally:
             app.stop_all_tasks()
             comm.close()
+
+
+class TestLatencyMode:
+    def test_depth0_publishes_same_iteration(self, tiny_layout):
+        """pipeline_depth=0 (latency mode): the batch dispatched this
+        iteration is fetched and published in the SAME iteration — the
+        reference's latency-first discipline without the one-step pipeline
+        lag. Output parity with depth 1 over a steady stream."""
+        port = 18660
+        rio = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        rio.bind(("127.0.0.1", port))
+        rio.settimeout(3.0)
+        comm = Comm(remote_addr="127.0.0.1", remote_port=port,
+                    gyro_port=port + 1, use_native=False)
+        app = App(_mini_graph(n_cams=1), field_layout=tiny_layout, comm=comm,
+                  pipeline_depth=0,
+                  detector_kwargs=dict(max_edge_points=8192, max_clusters=16,
+                                       cluster_points=256))
+        try:
+            app.start_all_tasks()
+            out = None
+            for _ in range(8):
+                out = app.run_one_iteration() or out
+                time.sleep(0.002)
+            assert out is not None, "depth-0 produced no fused output"
+            assert app._in_flight is None  # nothing ever deferred
+            counts = np.asarray(out.detections.valid).sum(axis=-1)
+            assert counts.max() >= 1
+            data, _ = rio.recvfrom(64)
+            assert len(data) == 64
+        finally:
+            app.stop_all_tasks()
+            comm.close()
+            rio.close()
