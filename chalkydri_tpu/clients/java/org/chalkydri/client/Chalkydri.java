@@ -68,6 +68,10 @@ public final class Chalkydri implements AutoCloseable {
     byte[] buf = new byte[VisionMeasurement.SIZE];
     DatagramPacket pkt = new DatagramPacket(buf, buf.length);
     while (running) {
+      // receive() shrinks pkt's length to the received size and uses the
+      // CURRENT length as the next max — one short stray datagram would
+      // otherwise truncate every following 64-byte packet forever.
+      pkt.setLength(buf.length);
       try {
         rxSocket.receive(pkt);
       } catch (SocketTimeoutException e) {

@@ -140,12 +140,18 @@ def extract_boundary_points(tern: jax.Array, labels: jax.Array):
 def _compact_blocks(black, white, payload, cap):
     """Block-sparse compaction: keep the `cap // 128` densest 128-candidate
     blocks (most blocks carry no boundary candidates at all — tags cover a
-    small fraction of the frame). Returns (black, white, payload) each [cap].
+    small fraction of the frame). Returns (black, white, payload), length
+    k*128 where k = min(cap // 128, n_blocks).
 
     Degradation when more than cap/128 blocks are non-empty: the sparsest
-    blocks are dropped whole — spatially-diffuse noise goes first, dense tag
-    borders last (the dense-sort path dropped largest-label clusters
-    instead; both are capacity heuristics, this one is ~8x cheaper).
+    blocks are dropped whole. Blocks are ~128 horizontally-adjacent pixels,
+    so a tag's top/bottom edges live in dense blocks while its LEFT/RIGHT
+    edges contribute only ~2 candidates per block — under extreme pressure
+    (>= cap/128 occupied blocks, i.e. a heavily textured decimated frame)
+    side-edge blocks are evicted before dense noise blocks. The caller
+    mitigates by requesting 2x slack and slicing invalid rows off after
+    the sort; the pre-compaction dense-sort path dropped largest-label
+    clusters instead — both are capacity heuristics, this one ~8x cheaper.
     """
     block = 128
     n = black.shape[0]

@@ -142,30 +142,34 @@ class _CvCapture:
 
         self._slot = None
         self._lock = threading.Lock()
-        # serializes VideoCapture access: cv2 documents concurrent
-        # read()/set() on one capture as not thread-safe
-        self._cap_lock = threading.Lock()
+        self._pending_exposure: Optional[int] = None  # mailbox, see below
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def set_exposure(self, value: int) -> None:
         """Runtime exposure update (the AAEC controller's actuator,
-        subsystems/aaec.py). Forces manual exposure mode first: V4L2
-        drivers silently drop CAP_PROP_EXPOSURE writes while in auto mode
-        (V4L2 convention: 1 = manual, 3 = aperture-priority auto)."""
-        import cv2
-
-        with self._cap_lock:
-            self._cap.set(cv2.CAP_PROP_AUTO_EXPOSURE, 1)
-            self._cap.set(cv2.CAP_PROP_EXPOSURE, float(value))
+        subsystems/aaec.py). Non-blocking: the value lands in a mailbox the
+        reader thread applies BETWEEN reads — cv2 documents concurrent
+        read()/set() on one VideoCapture as not thread-safe, and holding a
+        lock across the blocking read() would stall the app loop for up to
+        a frame period per actuation (unbounded on a wedged device)."""
+        with self._lock:
+            self._pending_exposure = int(value)
 
     def _loop(self):
         import cv2
 
         while not self._stop.is_set():
-            with self._cap_lock:
-                ok, frame = self._cap.read()
+            with self._lock:
+                pending, self._pending_exposure = self._pending_exposure, None
+            if pending is not None:
+                # Manual mode first: V4L2 drivers silently drop
+                # CAP_PROP_EXPOSURE writes while in auto mode (V4L2
+                # convention: 1 = manual, 3 = aperture-priority auto).
+                self._cap.set(cv2.CAP_PROP_AUTO_EXPOSURE, 1)
+                self._cap.set(cv2.CAP_PROP_EXPOSURE, float(pending))
+            ok, frame = self._cap.read()
             if not ok:
                 time.sleep(0.05)
                 continue
@@ -208,7 +212,9 @@ class SyntheticCapture:
         from chalkydri_tpu.detector.families import load_family
 
         self._family = load_family("tag36h11")
-        self._cycle: list = []
+        self._cycle: list = []  # scene luminance per phase (float32)
+        self._u8_cache: dict = {}  # phase -> exposed uint8 frame (current
+        #                            exposure; cleared by set_exposure)
 
     def set_exposure(self, value: int) -> None:
         """Synthetic exposure model: emitted pixel = clip(lum * e/100) with
@@ -218,7 +224,10 @@ class SyntheticCapture:
         OPTIMAL_EXPOSURE: under-exposure compresses contrast, over-exposure
         saturates blacks and whites alike. Lets the AAEC loop be
         integration-tested hardware-free."""
-        self.exposure = max(1, int(value))
+        value = max(1, int(value))
+        if value != self.exposure:
+            self.exposure = value
+            self._u8_cache.clear()  # re-expose cached frames lazily
 
     def latest(self):
         now = time.monotonic_ns() // 1000
@@ -233,10 +242,16 @@ class SyntheticCapture:
             )
             # cache scene LUMINANCE (see set_exposure)
             self._cycle.append(20.0 + 0.85 * rendered.astype(np.float32))
-        lum = self._cycle[self._n % len(self._cycle)]
-        frame = np.clip(
-            lum * (self.exposure / self.OPTIMAL_EXPOSURE), 0, 255
-        ).astype(np.uint8)
+        phase = self._n % len(self._cycle)
+        frame = self._u8_cache.get(phase)
+        if frame is None:
+            # exposure applied once per (phase, exposure) — per-poll float
+            # math over megapixel frames would throttle the whole app loop
+            frame = np.clip(
+                self._cycle[phase] * (self.exposure / self.OPTIMAL_EXPOSURE),
+                0, 255,
+            ).astype(np.uint8)
+            self._u8_cache[phase] = frame
         return frame, now
 
     def close(self):

@@ -163,28 +163,46 @@ def _ws_send(sock: socket.socket, payload: bytes, opcode: int, mask: bool) -> No
     sock.sendall(bytes(hdr) + payload)
 
 
-def _read_exact(sock: socket.socket, n: int) -> bytes:
+def _read_exact(sock: socket.socket, n: int, stop=None,
+                mid_frame: bool = False) -> bytes:
+    """Read exactly n bytes.
+
+    With a polling socket timeout, a timeout MID-FRAME must not discard the
+    partial bytes (the next parse would treat payload bytes as a frame
+    header and desynchronize the stream — a real hazard on congested WiFi,
+    where frames split across TCP segments). mid_frame=True (or any bytes
+    already buffered) keeps waiting; an idle timeout at a frame boundary
+    propagates so the caller's poll loop can check its stop flag.
+    """
     buf = b""
     while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
+        try:
+            chunk = sock.recv(n - len(buf))
+        except socket.timeout:
+            if not buf and not mid_frame:
+                raise  # idle at frame boundary: caller polls
+            if stop is not None and stop.is_set():
+                raise ConnectionError("closing mid-frame")
+            continue  # mid-frame: the rest of the frame is coming
         if not chunk:
             raise ConnectionError("socket closed")
         buf += chunk
     return buf
 
 
-def _ws_recv(sock: socket.socket):
-    """Returns (opcode, payload) of the next frame."""
-    h = _read_exact(sock, 2)
+def _ws_recv(sock: socket.socket, stop=None):
+    """Returns (opcode, payload) of the next frame. Only the FIRST header
+    byte read may time out idle; everything after is mid-frame."""
+    h = _read_exact(sock, 2, stop=stop)
     opcode = h[0] & 0x0F
     masked = h[1] & 0x80
     n = h[1] & 0x7F
     if n == 126:
-        n = struct.unpack(">H", _read_exact(sock, 2))[0]
+        n = struct.unpack(">H", _read_exact(sock, 2, stop=stop, mid_frame=True))[0]
     elif n == 127:
-        n = struct.unpack(">Q", _read_exact(sock, 8))[0]
-    key = _read_exact(sock, 4) if masked else None
-    payload = _read_exact(sock, n)
+        n = struct.unpack(">Q", _read_exact(sock, 8, stop=stop, mid_frame=True))[0]
+    key = _read_exact(sock, 4, stop=stop, mid_frame=True) if masked else None
+    payload = _read_exact(sock, n, stop=stop, mid_frame=True)
     if key:
         payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
     return opcode, payload
@@ -269,7 +287,7 @@ class NT4Client:
     def _reader_loop(self) -> None:
         while not self._stop.is_set() and self._sock is not None:
             try:
-                opcode, payload = _ws_recv(self._sock)
+                opcode, payload = _ws_recv(self._sock, stop=self._stop)
             except socket.timeout:
                 continue
             except (ConnectionError, OSError):
@@ -561,7 +579,7 @@ class MiniNTServer:
                 self._conns.append(c)
             while not self._stop.is_set():
                 try:
-                    opcode, payload = _ws_recv(conn)
+                    opcode, payload = _ws_recv(conn, stop=self._stop)
                 except socket.timeout:
                     continue
                 except (ConnectionError, OSError):
