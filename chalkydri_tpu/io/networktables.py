@@ -224,12 +224,27 @@ class NT4Client:
     nt_client the reference links (Cargo.toml:40)."""
 
     def __init__(self, host: str, port: int = NT_PORT,
-                 identity: str = "chalkydri-tpu"):
+                 identity: str = "chalkydri-tpu", reconnect: bool = True,
+                 backoff_initial: float = 0.25, backoff_max: float = 5.0):
         self.host, self.port = host, port
         self.identity = identity
         self._sock: Optional[socket.socket] = None
-        self._pubs: dict[str, int] = {}
+        self._pubs: dict[str, tuple[int, str]] = {}  # topic -> (pubuid, type)
         self._next_uid = 1
+        # Reconnect policy: FRC reality is that the robot-side NT server
+        # boots AFTER the coprocessor, and match WiFi drops connections
+        # mid-run. With reconnect=True the client retries with exponential
+        # backoff, re-announces its publishers and re-sends its
+        # subscriptions on every new connection; publishes while
+        # disconnected are dropped (the pose stream is high-rate — stale
+        # values are worthless by reconnect time).
+        self._reconnect = reconnect
+        self._backoff_initial = backoff_initial
+        self._backoff_max = backoff_max
+        # Topics published with retained=True re-send their latest value on
+        # every (re)connection (device metadata like .../Version must be
+        # visible to a server that boots after us).
+        self._retained: dict[str, Any] = {}
         self._lock = threading.Lock()
         self._t0 = time.monotonic_ns()
         # subscribe state
@@ -252,7 +267,12 @@ class NT4Client:
         the first successful rtt_sync)."""
         return self._now_us() + self._offset_us
 
-    def connect(self, timeout: float = 3.0, sync: bool = True) -> None:
+    @property
+    def connected(self) -> bool:
+        return self._sock is not None
+
+    def _connect_once(self, timeout: float = 3.0) -> None:
+        """One synchronous handshake attempt; raises on failure."""
         sock = socket.create_connection((self.host, self.port), timeout=timeout)
         key = base64.b64encode(os.urandom(16)).decode()
         req = (
@@ -271,12 +291,93 @@ class NT4Client:
                 raise ConnectionError("handshake failed")
             resp += chunk
         if b"101" not in resp.split(b"\r\n", 1)[0]:
+            sock.close()
             raise ConnectionError(f"handshake rejected: {resp[:100]!r}")
         sock.settimeout(0.2)
+        # Server-assigned topic ids do not survive a reconnect.
+        self._announced.clear()
         self._sock = sock
+
+    def _on_connected(self, sync: bool) -> None:
+        """Restore session state on a (re)connection: re-announce every
+        publisher with its recorded type/uid and re-send every
+        subscription, then re-sync the server clock."""
+        with self._lock:
+            for topic, (uid, nt_type) in list(self._pubs.items()):
+                msg = [{"method": "publish",
+                        "params": {"name": topic, "pubuid": uid,
+                                   "type": nt_type, "properties": {}}}]
+                _ws_send(self._sock, json.dumps(msg).encode(), opcode=0x1,
+                         mask=True)
+            for subuid, (prefixes, _cb) in list(self._subs.items()):
+                msg = [{"method": "subscribe",
+                        "params": {"topics": list(prefixes),
+                                   "subuid": subuid,
+                                   "options": {"prefix": True}}}]
+                _ws_send(self._sock, json.dumps(msg).encode(), opcode=0x1,
+                         mask=True)
+        if sync:
+            try:
+                self.rtt_sync()
+            except (OSError, ConnectionError):
+                pass
+        for topic, value in list(self._retained.items()):
+            try:
+                self.publish(topic, value)
+            except (OSError, ConnectionError, TypeError):
+                pass
+
+    def _teardown_sock(self) -> None:
+        with self._lock:
+            if self._sock is not None:
+                try:
+                    self._sock.close()
+                except OSError:
+                    pass
+                self._sock = None
+
+    def _manager_loop(self, sync: bool) -> None:
+        """Connect -> run the reader inline -> on disconnect, back off and
+        retry. Runs until close()."""
+        backoff = self._backoff_initial
+        while not self._stop.is_set():
+            if self._sock is None:
+                try:
+                    self._connect_once()
+                except (OSError, ConnectionError):
+                    if self._stop.wait(backoff):
+                        return
+                    backoff = min(backoff * 2, self._backoff_max)
+                    continue
+                backoff = self._backoff_initial
+                self._on_connected(sync)
+            self._reader_loop()  # returns on disconnect or stop
+            self._teardown_sock()
+
+    def start(self, sync: bool = True) -> "NT4Client":
+        """Begin connecting in the background; never raises. The manager
+        thread retries with backoff until a server appears and reconnects
+        whenever the link drops."""
         self._stop.clear()
         self._reader = threading.Thread(
-            target=self._reader_loop, daemon=True, name="nt4-reader"
+            target=self._manager_loop, args=(sync,), daemon=True,
+            name="nt4-manager",
+        )
+        self._reader.start()
+        return self
+
+    def connect(self, timeout: float = 3.0, sync: bool = True) -> None:
+        """Synchronous connect: raises if the server is unreachable NOW.
+        With reconnect enabled, later drops are still healed in the
+        background (the reader thread becomes the reconnect manager)."""
+        self._connect_once(timeout=timeout)
+        self._stop.clear()
+        if self._reconnect:
+            target, args = self._manager_loop, (sync,)
+        else:
+            target, args = self._reader_loop, ()
+        self._reader = threading.Thread(
+            target=target, args=args, daemon=True, name="nt4-reader"
         )
         self._reader.start()
         if sync:
@@ -285,9 +386,14 @@ class NT4Client:
     # -- reader -------------------------------------------------------------
 
     def _reader_loop(self) -> None:
-        while not self._stop.is_set() and self._sock is not None:
+        while not self._stop.is_set():
+            # Snapshot: a failed publish may tear the socket down
+            # concurrently to signal a reconnect.
+            sock = self._sock
+            if sock is None:
+                return
             try:
-                opcode, payload = _ws_recv(self._sock, stop=self._stop)
+                opcode, payload = _ws_recv(sock, stop=self._stop)
             except socket.timeout:
                 continue
             except (ConnectionError, OSError):
@@ -295,19 +401,35 @@ class NT4Client:
             if opcode == 0x8:
                 return
             if opcode == 0x9:  # ping -> pong
-                with self._lock:
-                    _ws_send(self._sock, payload, opcode=0xA, mask=True)
-            elif opcode == 0x1:
                 try:
-                    msgs = json.loads(payload.decode())
-                except ValueError:
+                    with self._lock:
+                        if self._sock is not None:
+                            _ws_send(self._sock, payload, opcode=0xA, mask=True)
+                except (OSError, ConnectionError):
+                    return
+            elif opcode == 0x1:
+                # Malformed control frames (bad UTF-8/JSON, non-list JSON,
+                # missing params) must not kill the reader — a desynced or
+                # hostile peer costs us a reconnect at worst, never the
+                # telemetry thread (fuzzed in tests/test_io.py).
+                try:
+                    msgs = json.loads(payload.decode(errors="replace"))
+                    if not isinstance(msgs, list):
+                        continue
+                    for msg in msgs:
+                        if not isinstance(msg, dict):
+                            continue
+                        p = msg.get("params")
+                        if not isinstance(p, dict):
+                            continue
+                        if msg.get("method") == "announce":
+                            self._announced[p["id"]] = (
+                                p["name"], p.get("type", ""),
+                            )
+                        elif msg.get("method") == "unannounce":
+                            self._announced.pop(p.get("id"), None)
+                except (ValueError, KeyError, TypeError):
                     continue
-                for msg in msgs:
-                    if msg.get("method") == "announce":
-                        p = msg["params"]
-                        self._announced[p["id"]] = (p["name"], p.get("type", ""))
-                    elif msg.get("method") == "unannounce":
-                        self._announced.pop(msg["params"].get("id"), None)
             elif opcode == 0x2:
                 off = 0
                 while off < len(payload):
@@ -347,10 +469,10 @@ class NT4Client:
         """One NT4 RTT ping (binary frame to topic -1). Returns the measured
         round trip in microseconds (None on timeout) and updates the server
         clock offset used by server_time_us()."""
-        if self._sock is None:
-            raise ConnectionError("not connected")
         self._rtt_event.clear()
         with self._lock:
+            if self._sock is None:
+                raise ConnectionError("not connected")
             payload = msgpack_encode([-1, 0, NT_TYPES["double"],
                                       float(self._now_us())])
             _ws_send(self._sock, payload, opcode=0x2, mask=True)
@@ -363,8 +485,9 @@ class NT4Client:
     def subscribe(self, prefixes: list[str], callback=None,
                   options: Optional[dict] = None) -> int:
         """Subscribe to topic prefixes; values land in ``self.values`` and
-        (optionally) fire ``callback(name, value, server_ts_us)``."""
-        if self._sock is None:
+        (optionally) fire ``callback(name, value, server_ts_us)``. While
+        disconnected the subscription is recorded and sent on (re)connect."""
+        if self._sock is None and not self._reconnect:
             raise ConnectionError("not connected")
         subuid = self._next_uid
         self._next_uid += 1
@@ -375,17 +498,30 @@ class NT4Client:
                 "params": {"topics": list(prefixes), "subuid": subuid,
                            "options": opts}}]
         self._subs[subuid] = (list(prefixes), callback)
-        with self._lock:
-            _ws_send(self._sock, json.dumps(msg).encode(), opcode=0x1, mask=True)
+        try:
+            with self._lock:
+                if self._sock is not None:
+                    _ws_send(self._sock, json.dumps(msg).encode(), opcode=0x1,
+                             mask=True)
+        except (OSError, ConnectionError):
+            if not self._reconnect:
+                raise
+            self._teardown_sock()
         return subuid
 
     def unsubscribe(self, subuid: int) -> None:
         self._subs.pop(subuid, None)
-        if self._sock is not None:
-            msg = [{"method": "unsubscribe", "params": {"subuid": subuid}}]
+        try:
             with self._lock:
-                _ws_send(self._sock, json.dumps(msg).encode(), opcode=0x1,
-                         mask=True)
+                if self._sock is not None:
+                    msg = [{"method": "unsubscribe",
+                            "params": {"subuid": subuid}}]
+                    _ws_send(self._sock, json.dumps(msg).encode(), opcode=0x1,
+                             mask=True)
+        except (OSError, ConnectionError):
+            if not self._reconnect:
+                raise
+            self._teardown_sock()
 
     def get(self, topic: str, default=None):
         """Latest subscribed value for a topic (or default)."""
@@ -400,13 +536,16 @@ class NT4Client:
                 "params": {"name": topic, "pubuid": uid, "type": nt_type,
                            "properties": {}}}]
         _ws_send(self._sock, json.dumps(msg).encode(), opcode=0x1, mask=True)
-        self._pubs[topic] = uid
+        self._pubs[topic] = (uid, nt_type)
         return uid
 
-    def publish(self, topic: str, value: Any) -> None:
-        """Publish a double/bool/string value to a topic."""
-        if self._sock is None:
-            raise ConnectionError("not connected")
+    def publish(self, topic: str, value: Any, retained: bool = False) -> None:
+        """Publish a double/bool/string value to a topic. While
+        disconnected (reconnect pending) the value is dropped silently —
+        callers never see transport state. ``retained=True`` re-sends the
+        latest value on every (re)connection."""
+        if retained:
+            self._retained[topic] = value
         if isinstance(value, bool):
             nt_type = "boolean"
         elif isinstance(value, (int, float)):
@@ -415,12 +554,23 @@ class NT4Client:
             nt_type = "string"
         else:
             raise TypeError(f"unsupported NT value {type(value)}")
-        with self._lock:
-            uid = self._pubs.get(topic) or self._announce_pub(topic, nt_type)
-            payload = msgpack_encode(
-                [uid, self.server_time_us(), NT_TYPES[nt_type], value]
-            )
-            _ws_send(self._sock, payload, opcode=0x2, mask=True)
+        try:
+            with self._lock:
+                if self._sock is None:
+                    if self._reconnect:
+                        return
+                    raise ConnectionError("not connected")
+                entry = self._pubs.get(topic)
+                uid = entry[0] if entry else self._announce_pub(topic, nt_type)
+                payload = msgpack_encode(
+                    [uid, self.server_time_us(), NT_TYPES[nt_type], value]
+                )
+                _ws_send(self._sock, payload, opcode=0x2, mask=True)
+        except (OSError, ConnectionError):
+            if not self._reconnect:
+                raise
+            # Kick the reader out of recv so the manager reconnects.
+            self._teardown_sock()
 
     def set_many(self, values: dict[str, Any]) -> None:
         for k, v in values.items():
@@ -428,16 +578,15 @@ class NT4Client:
 
     def close(self) -> None:
         self._stop.set()
-        if self._sock is not None:
-            try:
-                with self._lock:
+        try:
+            with self._lock:
+                if self._sock is not None:
                     _ws_send(self._sock, b"", opcode=0x8, mask=True)
-            except OSError:
-                pass
-            if self._reader is not None and self._reader.is_alive():
-                self._reader.join(timeout=1.0)
-            self._sock.close()
-            self._sock = None
+        except OSError:
+            pass
+        if self._reader is not None and self._reader.is_alive():
+            self._reader.join(timeout=1.0)
+        self._teardown_sock()
 
 
 # ---------------------------------------------------------------------------

@@ -199,6 +199,186 @@ class TestNetworkTables:
             assert out == v
 
 
+def _start_server_on(port):
+    """Bind a MiniNTServer to a specific port, retrying while the previous
+    listener drains (its accept loop polls at 200 ms)."""
+    from chalkydri_tpu.io.networktables import MiniNTServer
+
+    deadline = time.time() + 5
+    while True:
+        try:
+            return MiniNTServer(port=port).start()
+        except OSError:
+            if time.time() > deadline:
+                raise
+            time.sleep(0.05)
+
+
+class TestNT4Resilience:
+    """VERDICT round-2 directive 3: the NT uplink must survive the server
+    booting late, dying mid-match, and speaking garbage."""
+
+    def test_reconnect_resumes_publish_and_subscribe(self):
+        from chalkydri_tpu.io.networktables import MiniNTServer, NT4Client
+
+        srv = MiniNTServer().start()
+        port = srv.port
+        c = NT4Client("127.0.0.1", port, identity="resil").start()
+        got = []
+        c.subscribe(["/echo/"], callback=lambda n, v, ts: got.append((n, v)))
+        try:
+            c.publish("/Chalkydri/Devices/test/Version", "1.0", retained=True)
+            deadline = time.time() + 3
+            while time.time() < deadline and not srv.values:
+                c.publish("/Chalkydri/Robot/Rotation", 0.5)
+                time.sleep(0.02)
+            assert srv.values.get("/Chalkydri/Robot/Rotation") == 0.5
+
+            # Server dies mid-run (match WiFi / roboRIO reboot).
+            srv.stop()
+            srv2 = _start_server_on(port)
+            try:
+                # Publishes resume without any caller-side action; the
+                # retained Version topic reappears without a re-publish.
+                deadline = time.time() + 10
+                while time.time() < deadline and (
+                    srv2.values.get("/Chalkydri/Robot/Rotation") != 1.5
+                ):
+                    c.publish("/Chalkydri/Robot/Rotation", 1.5)
+                    time.sleep(0.05)
+                assert srv2.values.get("/Chalkydri/Robot/Rotation") == 1.5
+                deadline = time.time() + 3
+                while time.time() < deadline and (
+                    "/Chalkydri/Devices/test/Version" not in srv2.values
+                ):
+                    time.sleep(0.02)
+                assert srv2.values.get("/Chalkydri/Devices/test/Version") == "1.0"
+
+                # Subscriptions were re-sent on reconnect: a second client's
+                # publish fans out to our callback.
+                other = NT4Client("127.0.0.1", port, identity="other")
+                other.connect()
+                try:
+                    deadline = time.time() + 5
+                    while time.time() < deadline and not got:
+                        other.publish("/echo/ping", 7.0)
+                        time.sleep(0.05)
+                    assert ("/echo/ping", 7.0) in got
+                finally:
+                    other.close()
+            finally:
+                srv2.stop()
+        finally:
+            c.close()
+
+    def test_late_boot_server(self):
+        """start() before any server exists must not raise; the connection
+        is established when the server appears (FRC boot order)."""
+        import socket as socket_mod
+
+        from chalkydri_tpu.io.networktables import NT4Client
+
+        # Reserve a free port without holding it.
+        probe = socket_mod.socket()
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+        probe.close()
+
+        c = NT4Client("127.0.0.1", port, identity="early",
+                      backoff_initial=0.05).start()
+        try:
+            c.publish("/Chalkydri/Robot/Rotation", 0.25)  # dropped, no raise
+            assert not c.connected
+            srv = _start_server_on(port)
+            try:
+                deadline = time.time() + 10
+                while time.time() < deadline and (
+                    srv.values.get("/Chalkydri/Robot/Rotation") != 0.25
+                ):
+                    c.publish("/Chalkydri/Robot/Rotation", 0.25)
+                    time.sleep(0.05)
+                assert srv.values.get("/Chalkydri/Robot/Rotation") == 0.25
+            finally:
+                srv.stop()
+        finally:
+            c.close()
+
+    def test_malformed_frames_dont_kill_reader(self):
+        """Fuzz the WS/msgpack reader: a server speaking garbage (bad JSON,
+        non-list JSON, truncated msgpack, junk binary) must not crash the
+        client, and the client must recover once a sane server returns."""
+        import base64 as b64
+        import hashlib as hl
+        import socket as socket_mod
+        import threading as threading_mod
+
+        from chalkydri_tpu.io.networktables import (
+            _WS_GUID,
+            NT4Client,
+            _ws_send,
+        )
+
+        srv_sock = socket_mod.socket()
+        srv_sock.setsockopt(socket_mod.SOL_SOCKET, socket_mod.SO_REUSEADDR, 1)
+        srv_sock.bind(("127.0.0.1", 0))
+        srv_sock.listen(1)
+        port = srv_sock.getsockname()[1]
+        served = threading_mod.Event()
+
+        def evil_server():
+            conn, _ = srv_sock.accept()
+            req = b""
+            while b"\r\n\r\n" not in req:
+                req += conn.recv(4096)
+            key = ""
+            for line in req.decode(errors="replace").split("\r\n"):
+                if line.lower().startswith("sec-websocket-key:"):
+                    key = line.split(":", 1)[1].strip()
+            accept = b64.b64encode(
+                hl.sha1((key + _WS_GUID).encode()).digest()
+            ).decode()
+            conn.sendall(
+                ("HTTP/1.1 101 Switching Protocols\r\n"
+                 "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                 f"Sec-WebSocket-Accept: {accept}\r\n\r\n").encode()
+            )
+            # Garbage barrage: each frame is well-formed WS but hostile NT.
+            _ws_send(conn, b"not json at all", opcode=0x1, mask=False)
+            _ws_send(conn, b'{"method": "announce"}', opcode=0x1, mask=False)  # non-list
+            _ws_send(conn, b'[1, "x", null]', opcode=0x1, mask=False)  # non-dict items
+            _ws_send(conn, b'[{"method": "announce"}]', opcode=0x1, mask=False)  # no params
+            _ws_send(conn, b'[{"method": "announce", "params": []}]', opcode=0x1, mask=False)
+            _ws_send(conn, b"\xcb\x00\x00", opcode=0x2, mask=False)  # truncated double
+            _ws_send(conn, b"", opcode=0x2, mask=False)  # empty binary
+            _ws_send(conn, b"\x94\x01", opcode=0x2, mask=False)  # short array
+            _ws_send(conn, bytes(range(250, 256)) * 3, opcode=0x2, mask=False)
+            time.sleep(0.3)
+            conn.close()
+            srv_sock.close()
+            served.set()
+
+        threading_mod.Thread(target=evil_server, daemon=True).start()
+        c = NT4Client("127.0.0.1", port, identity="fuzzee",
+                      backoff_initial=0.05).start()
+        try:
+            assert served.wait(5), "fuzz server never ran"
+            # Reader survived the barrage; after the evil server closes, a
+            # sane server on the same port gets a clean reconnect.
+            srv = _start_server_on(port)
+            try:
+                deadline = time.time() + 10
+                while time.time() < deadline and (
+                    srv.values.get("/recovered") != 1.0
+                ):
+                    c.publish("/recovered", 1.0)
+                    time.sleep(0.05)
+                assert srv.values.get("/recovered") == 1.0
+            finally:
+                srv.stop()
+        finally:
+            c.close()
+
+
 class TestFrameConvert:
     def test_gray_passthrough_and_color(self):
         from chalkydri_tpu.runtime.convert import to_gray
@@ -240,6 +420,69 @@ class TestMjpeg:
             ) as r:
                 head = r.read(200)
             assert b"--frame" in head and b"image/jpeg" in head
+        finally:
+            srv.stop()
+
+    def test_field_endpoint_serves_pose_track(self):
+        """VERDICT round-2 directive 9: a top-down field view (tag layout +
+        robot pose trace + camera frusta) is served at /field next to the
+        preview — the rerun 3D-state parity surface, no rerun needed."""
+        cv2 = pytest.importorskip("cv2")
+        from chalkydri_tpu.geometry.field_layout import parse_field_layout
+        from chalkydri_tpu.io.mjpeg import MjpegServer
+        from chalkydri_tpu.io.whacknet import RobotPose, VisionUncertainty
+        from chalkydri_tpu.subsystems.field_view import FieldView
+        from chalkydri_tpu.subsystems.monitor import FrameRing
+
+        layout = parse_field_layout(
+            {
+                "tags": [
+                    {"ID": 5, "pose": {
+                        "translation": {"x": 12.0, "y": 4.0, "z": 1.0},
+                        "rotation": {"quaternion": {
+                            "W": 0.0, "X": 0.0, "Y": 0.0, "Z": 1.0}}}},
+                ],
+                "field": {"length": 16.518, "width": 8.043},
+            }
+        )
+        view = FieldView(layout=layout, cam_yaws={0: 0.0}, max_fps=1000.0)
+
+        # A short robot track driving down the field.
+        for i in range(12):
+            view.on_pose(
+                0, RobotPose(2.0 + 0.5 * i, 3.0 + 0.1 * i, 0.2),
+                VisionUncertainty(0.05, 0.05, 0.1), tag_count=2,
+            )
+        assert len(view.ring) >= 1
+
+        # Rendered canvas: trace pixels present along the track, tag marker
+        # drawn at the tag location.
+        canvas = view.render()
+        px, py = view._to_px(4.5, 3.5)
+        patch = canvas[py - 8 : py + 8, px - 8 : px + 8]
+        assert (patch != 30).any(), "pose trace not drawn"
+        tx, ty = view._to_px(12.0, 4.0)
+        tag_patch = canvas[ty - 6 : ty + 6, tx - 6 : tx + 6]
+        assert (tag_patch[..., 2] > 200).any(), "tag marker not drawn"
+
+        # Served at /field next to the preview stream.
+        preview = FrameRing()
+        ok, enc = cv2.imencode(".jpg", np.full((16, 16), 99, np.uint8))
+        preview.push(1, enc.tobytes())
+        srv = MjpegServer({"/stream": preview, "/field": view.ring},
+                          host="127.0.0.1", port=0)
+        srv.start()
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/field", timeout=3
+            ) as r:
+                head = r.read(200)
+            assert b"--frame" in head and b"image/jpeg" in head
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/", timeout=3
+            ) as r:
+                index = r.read()
+            assert b"/field" in index and b"/stream" in index
         finally:
             srv.stop()
 
@@ -348,6 +591,64 @@ class TestJavaClientSpec:
             "ts": struct.unpack_from("<Q", data, 48)[0],
             "cam": data[56], "tags": data[57],
         }
+
+    def test_java_source_offsets_match_pack_layout(self):
+        """Parse the ACTUAL .java sources (VERDICT round-2 directive 6 — no
+        more correctness-by-transliteration): every absolute-offset
+        ByteBuffer accessor in VisionMeasurement.decode must match _PACK's
+        struct layout field for field, so an offset or width typo edited
+        into the .java fails pytest."""
+        import re
+        from pathlib import Path
+
+        import chalkydri_tpu
+        from chalkydri_tpu.io import whacknet
+
+        java_dir = (
+            Path(chalkydri_tpu.__file__).parent
+            / "clients" / "java" / "org" / "chalkydri" / "client"
+        )
+        src = (java_dir / "VisionMeasurement.java").read_text()
+
+        # Expected accessor sequence derived from the Python encoder's
+        # struct format (the single source of truth for the wire layout).
+        fmt = whacknet._PACK.format
+        assert fmt.startswith("<"), "wire format must be little-endian"
+        java_accessor = {"d": "getDouble", "Q": "getLong", "B": "get"}
+        width = {"d": 8, "Q": 8, "B": 1, "x": 1}
+        expected = []
+        offset, count = 0, ""
+        for ch in fmt[1:]:
+            if ch.isdigit():
+                count += ch
+                continue
+            for _ in range(int(count or 1)):
+                if ch != "x":  # pad bytes have no accessor
+                    expected.append((java_accessor[ch], offset))
+                offset += width[ch]
+            count = ""
+        assert offset == whacknet.PACKET_SIZE
+
+        # Actual accessors, in source order, from the decode() body.
+        decode_body = src.split("static VisionMeasurement decode", 1)[1]
+        actual = [
+            (m.group(1), int(m.group(2)))
+            for m in re.finditer(r"b\.(getDouble|getLong|get)\((\d+)\)",
+                                 decode_body)
+        ]
+        assert actual == expected, (
+            f"VisionMeasurement.java drifted from _PACK ({fmt}):\n"
+            f"  java: {actual}\n  spec: {expected}"
+        )
+        assert "ByteOrder.LITTLE_ENDIAN" in decode_body
+        assert re.search(r"int SIZE = %d\b" % whacknet.PACKET_SIZE, src)
+
+        # Port constants in the robot-side API must match the coprocessor.
+        chalk = (java_dir / "Chalkydri.java").read_text()
+        listen = re.search(r"int LISTEN_PORT = (\d+)", chalk)
+        gyro = re.search(r"int GYRO_PORT = (\d+)", chalk)
+        assert listen and int(listen.group(1)) == whacknet.DEFAULT_SEND_PORT
+        assert gyro and int(gyro.group(1)) == whacknet.GYRO_PORT
 
     def test_decode_matches_encoder(self):
         from chalkydri_tpu.io.whacknet import (
