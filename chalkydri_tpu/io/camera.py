@@ -201,7 +201,7 @@ class SyntheticCapture:
     #                         gradient metric peaks (see set_exposure)
 
     def __init__(self, width: int, height: int, fps: float = 30.0,
-                 tag_ids=(3, 4), seed: int = 0):
+                 tag_ids=(3, 4), seed: int = 0, family: str = "tag36h11"):
         self.width = max(width, 160) or 640
         self.height = max(height, 120) or 480
         self._period_us = int(1e6 / fps)
@@ -211,7 +211,7 @@ class SyntheticCapture:
         self.exposure = self.OPTIMAL_EXPOSURE
         from chalkydri_tpu.detector.families import load_family
 
-        self._family = load_family("tag36h11")
+        self._family = load_family(family)
         self._cycle: list = []  # scene luminance per phase (float32)
         self._u8_cache: dict = {}  # phase -> exposed uint8 frame (current
         #                            exposure; cleared by set_exposure)
@@ -293,6 +293,9 @@ class CamPipeline:
         self.auto_exposure = bool(config.get("auto_exposure", True))
         self.manual_exposure = config.get("manual_exposure")
         self._synthetic_ok = synthetic_ok
+        # Synthetic-scene knobs (tests/dev only; ignored with real devices).
+        self._synth_family = str(config.get("synthetic_family", "tag36h11"))
+        self._synth_tag_ids = config.get("synthetic_tag_ids", (3, 4))
         self._cap = None
         self._was_present = False
 
@@ -316,7 +319,13 @@ class CamPipeline:
                 self._cap = None
 
         if self._synthetic_ok:
-            self._cap = SyntheticCapture(self.width, self.height)
+            # The synthetic scene honors the chain's detector config so
+            # heterogeneous (multi-family) rigs are testable hardware-free.
+            self._cap = SyntheticCapture(
+                self.width, self.height,
+                family=self._synth_family,
+                tag_ids=tuple(self._synth_tag_ids),
+            )
 
     def set_exposure(self, value: int) -> None:
         if self._cap is not None and hasattr(self._cap, "set_exposure"):

@@ -1,6 +1,7 @@
 """Runtime tests: graph loading (reference RON files), task registry, app
 loop with synthetic cameras + UDP loopback, unified log record/replay."""
 
+import json
 import os
 import socket
 import struct
@@ -218,8 +219,9 @@ class TestNtUplink:
 
 class TestMixedGeometry:
     def test_cameras_with_different_resolutions(self, tiny_layout):
-        """Cameras of different sizes batch into one padded frame stack
-        (smaller frames sit in a 127-'skip' canvas)."""
+        """Cameras of different sizes run as SEPARATE fused groups, each at
+        its own geometry — the small camera no longer pays the big
+        camera's padded detect cost (VERDICT round-2 item 2)."""
         g = TaskGraph.from_dict(
             {"tasks": [
                 {"id": "camera_a", "type": "CamPipeline",
@@ -245,17 +247,164 @@ class TestMixedGeometry:
                   detector_kwargs=dict(max_edge_points=8192, max_clusters=16,
                                        cluster_points=256))
         try:
-            assert (app.frame_h, app.frame_w) == (480, 640)
-            out = None
+            geoms = sorted((g.frame_h, g.frame_w) for g in app.groups)
+            assert geoms == [(240, 320), (480, 640)]
+            for g in app.groups:
+                assert g.frames_buf.shape == (1, g.frame_h, g.frame_w)
+            outs = None
             for _ in range(6):
-                out = app.run_one_iteration() or out
-            assert out is not None
-            # The small camera's detections come from the padded canvas.
-            counts = np.asarray(out.detections.valid).sum(axis=-1)
-            assert counts.max() >= 1
+                outs = app.run_one_iteration() or outs
+            assert outs is not None and len(outs) == 2
+            # Detections still come through the grouped programs.
+            best = max(
+                np.asarray(out.detections.valid).sum(axis=-1).max()
+                for out in outs
+            )
+            assert best >= 1
         finally:
             app.stop_all_tasks()
             comm.close()
+
+    @staticmethod
+    def _rig_graph(chains):
+        """Graph dict for a list of (cam_id, w, h, family, bits) chains."""
+        tasks, cnx = [], []
+        for cam_id, w, h, family, bits in chains:
+            calib = json.dumps({"OpenCVModel5": {
+                "fx": w * 0.9, "fy": w * 0.9, "cx": w / 2, "cy": h / 2,
+                "k1": 0, "k2": 0, "p1": 0, "p2": 0, "k3": 0}})
+            tasks += [
+                {"id": f"camera_{cam_id}", "type": "CamPipeline",
+                 "config": {"id": f"missing-{cam_id}", "name": f"c{cam_id}",
+                            "width": w, "height": h,
+                            "synthetic_family": family,
+                            "synthetic_tag_ids": [3, 4]}},
+                {"id": f"apriltags_{cam_id}",
+                 "type": "chalkydri_apriltags::AprilTags",
+                 "config": {"cam_id": cam_id, "family": family,
+                            "bits_corrected": bits, "calib": calib,
+                            "robot_to_cam": '{"roll": 0, "pitch": 0, "yaw": 0, "x": 0, "y": 0, "z": 0.5}'}},
+            ]
+            cnx.append({"src": f"camera_{cam_id}",
+                        "dst": f"apriltags_{cam_id}", "msg": "f"})
+        return TaskGraph.from_dict(
+            {"tasks": tasks, "cnx": cnx,
+             "resources": [{"id": "comm", "provider": "whacknet::CommBundle"}]}
+        )
+
+    def test_live_reconfiguration_mid_run(self, tiny_layout):
+        """VERDICT round-2 directive 8: orientation/resolution changes apply
+        to a RUNNING app — the reference's videoflip/valve live-update path
+        (pipeline.rs:201-269). Flip orientation mid-run, then shrink the
+        resolution; detections must continue both times without an app
+        restart."""
+        comm = Comm(remote_addr="127.0.0.1", remote_port=18760,
+                    gyro_port=18761, use_native=False)
+        app = App(
+            self._rig_graph([(0, 320, 240, "tag36h11", 3)]),
+            field_layout=tiny_layout, comm=comm,
+            detector_kwargs=dict(max_edge_points=8192, max_clusters=16,
+                                 cluster_points=256),
+        )
+
+        def run_until_detection(iters=10):
+            for _ in range(iters):
+                out = app.run_one_iteration()
+                if out is not None and np.asarray(
+                    out.detections.valid
+                ).sum() >= 1:
+                    return True
+                time.sleep(0.02)
+            return False
+
+        try:
+            app.start_all_tasks()
+            assert run_until_detection(), "no detections before reconfig"
+            assert (app.groups[0].frame_w, app.groups[0].frame_h) == (320, 240)
+
+            # 90-degree flip: emitted geometry swaps, the fused group is
+            # re-staged at 240x320, detections continue.
+            app.update_camera(0, orientation="clockwise")
+            assert (app.groups[0].frame_w, app.groups[0].frame_h) == (240, 320)
+            assert run_until_detection(), "no detections after rotation"
+
+            # Live resolution change: capture restarts at the new size.
+            app.update_camera(0, orientation="none", width=256, height=192)
+            assert (app.groups[0].frame_w, app.groups[0].frame_h) == (256, 192)
+            assert run_until_detection(), "no detections after resize"
+            assert app.fused_chains[0].camera._cap.width == 256
+        finally:
+            app.stop_all_tasks()
+            comm.close()
+
+    def test_two_family_two_geometry_rig_matches_single_runs(self, tiny_layout):
+        """VERDICT round-2 directive 2 'Done' criterion: in a mixed
+        36h11/16h5, 640x480/320x240 rig, each camera's fused program
+        produces detections IDENTICAL to the same camera configured alone
+        (the round-2 code applied the FIRST chain's family to every
+        camera, runtime/app.py:158-161 then)."""
+        import jax.numpy as jnp
+
+        from chalkydri_tpu.detector.families import load_family
+        from tests.reference_impl.render import place_tag
+
+        dk = dict(max_edge_points=8192, max_clusters=16, cluster_points=256)
+        chain_a = (0, 320, 240, "tag16h5", 1)
+        chain_b = (1, 640, 480, "tag36h11", 3)
+
+        # Fixed scenes, one per camera, rendered with that camera's family.
+        frame_a = np.full((240, 320), 150, np.uint8)
+        place_tag(frame_a, load_family("tag16h5"), 3, np.array(
+            [[80, 180], [230, 180], [230, 50], [80, 50]], np.float32))
+        frame_b = np.full((480, 640), 150, np.uint8)
+        place_tag(frame_b, load_family("tag36h11"), 4, np.array(
+            [[180, 380], [460, 380], [460, 110], [180, 110]], np.float32))
+        frames = {"tag16h5": frame_a, "tag36h11": frame_b}
+
+        def run_group(g):
+            buf = np.full((len(g.chains), g.frame_h, g.frame_w), 127, np.uint8)
+            f = frames[g.family]
+            buf[0, :f.shape[0], :f.shape[1]] = f
+            out = g.step(jnp.asarray(buf), jnp.zeros(len(g.chains), jnp.float32))
+            d = out.detections
+            return {k: np.asarray(v) for k, v in
+                    zip(("ids", "corners", "margins", "valid"),
+                        (d.ids, d.corners, d.decision_margins, d.valid))}
+
+        comms = []
+
+        def make_app(chains):
+            port = 18700 + 2 * len(comms)
+            comm = Comm(remote_addr="127.0.0.1", remote_port=port,
+                        gyro_port=port + 1, use_native=False)
+            comms.append(comm)
+            return App(self._rig_graph(chains), field_layout=tiny_layout,
+                       comm=comm, detector_kwargs=dk)
+
+        try:
+            mixed = make_app([chain_a, chain_b])
+            assert len(mixed.groups) == 2
+            by_family = {g.family: g for g in mixed.groups}
+            assert by_family["tag16h5"].bits_corrected == 1
+            assert by_family["tag36h11"].bits_corrected == 3
+
+            for chain in (chain_a, chain_b):
+                family = chain[3]
+                single = make_app([chain])
+                assert len(single.groups) == 1
+                got_mixed = run_group(by_family[family])
+                got_single = run_group(single.groups[0])
+                # The right tag decodes under the right family...
+                expect_id = 3 if family == "tag16h5" else 4
+                assert expect_id in got_mixed["ids"][0][got_mixed["valid"][0]]
+                # ...and the mixed rig's program is bit-identical to the
+                # single-camera rig's on the same frame.
+                for k in ("ids", "corners", "margins", "valid"):
+                    np.testing.assert_array_equal(
+                        got_mixed[k], got_single[k], err_msg=f"{family}:{k}")
+        finally:
+            for comm in comms:
+                comm.close()
 
 
 class TestAaecLoop:
