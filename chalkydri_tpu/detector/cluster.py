@@ -106,15 +106,31 @@ def _unpack_payload(p):
     return x2, y2, dir_idx, p_white
 
 
-def extract_boundary_points(tern: jax.Array, labels: jax.Array):
-    """Dense boundary-point enumeration for ONE frame.
+def extract_boundary_points(
+    tern: jax.Array,
+    labels: jax.Array,
+    halo_top: int = 0,
+    halo_bottom: int = 0,
+    y_offset: int | jax.Array = 0,
+):
+    """Dense boundary-point enumeration for ONE frame (or one row shard).
 
-    Returns (black_lab, white_lab, payload) each [4*H*W] int32; invalid
+    Returns (black_lab, white_lab, payload) each [2*H*W] int32; invalid
     candidates have black_lab == white_lab == INT32_MAX.
+
+    For the row-sharded multi-chip path, ``tern``/``labels`` are a shard's
+    core rows EXTENDED with ``halo_top`` neighbor rows above and
+    ``halo_bottom`` below (the solidity stencil reaches 1 row, and a core
+    last-row down-edge needs the below-neighbor's solidity, i.e. 2 rows
+    down): candidates are emitted ONLY for core pixels, with ``y_offset``
+    (the shard's global core row origin) making packed y coordinates and
+    the emitted candidate set globally identical to an unsharded run.
     """
     h, w = tern.shape
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    core = (ys >= halo_top) & (ys < h - halo_bottom)
+    ys_global = ys - halo_top + y_offset
     solid = _same_neighbor_count(tern) >= MIN_SAME_NEIGHBORS
 
     blacks, whites, payloads = [], [], []
@@ -123,13 +139,13 @@ def extract_boundary_points(tern: jax.Array, labels: jax.Array):
         nl = _shift(labels, dy, dx, jnp.int32(0))
         nsolid = _shift(solid, dy, dx, False)
         pair_sum = tern.astype(jnp.int32) + nv.astype(jnp.int32)
-        is_edge = (pair_sum == 255) & solid & nsolid
+        is_edge = (pair_sum == 255) & solid & nsolid & core
         p_is_white = tern == 255
         black_lab = jnp.where(p_is_white, nl, labels)
         white_lab = jnp.where(p_is_white, labels, nl)
         black_lab = jnp.where(is_edge, black_lab, _INT_MAX)
         white_lab = jnp.where(is_edge, white_lab, _INT_MAX)
-        payload = _pack_payload(2 * xs + dx, 2 * ys + dy, di, p_is_white)
+        payload = _pack_payload(2 * xs + dx, 2 * ys_global + dy, di, p_is_white)
         blacks.append(black_lab.reshape(-1))
         whites.append(white_lab.reshape(-1))
         payloads.append(payload.reshape(-1))
@@ -170,34 +186,20 @@ def _compact_blocks(black, white, payload, cap):
     return tuple(x.reshape(nb, block)[blk_idx].reshape(-1) for x in (black, white, payload))
 
 
-@partial(
-    jax.jit,
-    static_argnames=("max_points", "max_clusters", "cluster_points", "min_points"),
-)
-def gradient_clusters(
-    tern: jax.Array,
-    labels: jax.Array,
+def cluster_candidates(
+    black: jax.Array,
+    white: jax.Array,
+    payload: jax.Array,
     max_points: int = MAX_EDGE_POINTS,
     max_clusters: int = MAX_CLUSTERS,
     cluster_points: int = MAX_CLUSTER_POINTS,
     min_points: int = MIN_CLUSTER_POINTS,
 ) -> Clusters:
-    """Cluster boundary points for ONE frame ([H, W] inputs); vmap over batch."""
-    black, white, payload = extract_boundary_points(tern, labels)
-
-    # --- block-sparse compaction: the dominant cost of this stage was a
-    # 512k-row sort; compacting to the occupied blocks first cuts the sort
-    # (and every scan after it) close to max_points rows. Select 2x
-    # max_points worth of blocks — chosen blocks are rarely full (the
-    # block-count histogram of a noisy frame peaks well under 128), so the
-    # slack keeps sparse-but-real border blocks (e.g. a tag's 2-candidate
-    # side-edge rows) in play; the sort below sinks the invalid lanes and
-    # the post-sort slice discards them ------------------------------------
-    if black.shape[0] > max_points:
-        black, white, payload = _compact_blocks(
-            black, white, payload, 2 * max_points
-        )
-
+    """Group (possibly compacted) boundary candidates into clusters: the
+    sort -> run-length segment -> top-K -> window-gather tail, shared by the
+    single-device path (``gradient_clusters``) and the spatially-sharded
+    path (parallel/pipeline.py), whose globally-consistent ICI compaction
+    hands it a bitwise-identical candidate array."""
     # --- sort by (black, white): ONE lexicographic 2-key sort (measured on
     # v5e: a num_keys=2 sort costs the same as a single-key pass, so this
     # halves what two stable passes would) --------------------------------
@@ -281,3 +283,38 @@ def gradient_clusters(
 
     valid = top_count >= min_points
     return Clusters(points=points, mask=in_seg, count=top_count, valid=valid)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_points", "max_clusters", "cluster_points", "min_points"),
+)
+def gradient_clusters(
+    tern: jax.Array,
+    labels: jax.Array,
+    max_points: int = MAX_EDGE_POINTS,
+    max_clusters: int = MAX_CLUSTERS,
+    cluster_points: int = MAX_CLUSTER_POINTS,
+    min_points: int = MIN_CLUSTER_POINTS,
+) -> Clusters:
+    """Cluster boundary points for ONE frame ([H, W] inputs); vmap over batch."""
+    black, white, payload = extract_boundary_points(tern, labels)
+
+    # --- block-sparse compaction: the dominant cost of this stage was a
+    # 512k-row sort; compacting to the occupied blocks first cuts the sort
+    # (and every scan after it) close to max_points rows. Select 2x
+    # max_points worth of blocks — chosen blocks are rarely full (the
+    # block-count histogram of a noisy frame peaks well under 128), so the
+    # slack keeps sparse-but-real border blocks (e.g. a tag's 2-candidate
+    # side-edge rows) in play; the sort below sinks the invalid lanes and
+    # the post-sort slice discards them ------------------------------------
+    if black.shape[0] > max_points:
+        black, white, payload = _compact_blocks(
+            black, white, payload, 2 * max_points
+        )
+
+    return cluster_candidates(
+        black, white, payload,
+        max_points=max_points, max_clusters=max_clusters,
+        cluster_points=cluster_points, min_points=min_points,
+    )

@@ -74,6 +74,79 @@ class Detections(NamedTuple):
                     yield b, int(ids[b, i]), corners[b, i], float(margins[b, i])
 
 
+def make_post_cluster(
+    decode,
+    refine: bool = True,
+    quad_decimate: int = 2,
+    max_detections: int = MAX_DETECTIONS,
+    max_quad_candidates: int = 32,
+):
+    """Build the post-cluster tail ``finish(gray, clusters) -> Detections``:
+    quad fit -> candidate compaction -> refine -> decode -> margin rank ->
+    per-id dedup. Shared by the single-device detector (``make_detector``)
+    and the spatially-sharded multi-chip pipeline
+    (parallel/pipeline.py), which reaches this point via per-shard boundary
+    extraction + ICI candidate all-gather."""
+
+    def finish(gray, clusters):
+        quads = fit_quads(clusters.points, clusters.mask, clusters.valid)
+
+        # --- candidate compaction: refine + decode cost is dominated by
+        # bilinear gathers proportional to K; keep only the best
+        # max_quad_candidates quads (valid first, larger clusters first) ----
+        kq = min(max_quad_candidates, quads.valid.shape[0])
+        score = jnp.where(quads.valid, clusters.count, jnp.int32(-1))
+        _, sel = jax.lax.top_k(score, kq)
+        quads = quads._replace(corners=quads.corners[sel], valid=quads.valid[sel])
+
+        corners = quads.corners
+        if quad_decimate == 2:
+            # decimated pixel (i, j) is the mean of full pixels 2i..2i+1 x
+            # 2j..2j+1, i.e. its center sits at full coord 2*c + 0.5.
+            corners = corners * 2.0 + 0.5
+        # Pack 2x2 neighborhoods once; refine + decode then bilinear-sample
+        # with one gather per sample instead of four (homography.py).
+        packed = pack_neighborhood(gray)
+        if refine:
+            corners = refine_quads(packed, corners, quads.valid)
+        dec = decode(packed, corners, quads.valid)  # [K] fields
+
+        # --- rank by decision margin, dedup by tag id ----------------------
+        margin = jnp.where(dec.valid, dec.decision_margin, -1.0)
+        order = jnp.argsort(-margin)  # best first
+        ids_s = dec.tag_id[order]
+        margins_s = margin[order]
+        corners_s = dec.corners[order]
+        ham_s = dec.hamming[order]
+        valid_s = dec.valid[order]
+
+        # Dedup: a detection is kept only if no earlier (better) slot has the
+        # same tag id. K x K mask, K = MAX_CLUSTERS (static, small).
+        k = ids_s.shape[0]
+        same = ids_s[None, :] == ids_s[:, None]  # [k, k]
+        earlier = jnp.tril(jnp.ones((k, k), bool), k=-1)
+        dup = jnp.any(same & earlier & valid_s[None, :], axis=1)
+        keep = valid_s & ~dup
+
+        # Compact the kept detections to the front, truncate to capacity.
+        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        slot = jnp.where(keep & (pos < max_detections), pos, max_detections)
+
+        def compact(v, fill):
+            buf = jnp.full((max_detections + 1, *v.shape[1:]), fill, v.dtype)
+            return buf.at[slot].set(v, mode="drop")[:max_detections]
+
+        return Detections(
+            ids=compact(ids_s, jnp.int32(-1)),
+            corners=compact(corners_s, jnp.float32(0)),
+            decision_margins=compact(margins_s, jnp.float32(0)),
+            hammings=compact(ham_s, jnp.int32(0)),
+            valid=compact(keep, False),
+        )
+
+    return finish
+
+
 def make_detector(
     family: str | TagFamily = DEFAULT_FAMILY,
     bits_corrected: int = DEFAULT_BITS_CORRECTED,
@@ -159,6 +232,12 @@ def make_detector(
             small = gray_batch
         return threshold_label_fn(small)
 
+    finish = make_post_cluster(
+        decode, refine=refine, quad_decimate=quad_decimate,
+        max_detections=max_detections,
+        max_quad_candidates=max_quad_candidates,
+    )
+
     def detect_one(gray, tern, labels):
         clusters = gradient_clusters(
             tern, labels,
@@ -166,60 +245,7 @@ def make_detector(
             max_clusters=max_clusters,
             cluster_points=cluster_points,
         )
-        quads = fit_quads(clusters.points, clusters.mask, clusters.valid)
-
-        # --- candidate compaction: refine + decode cost is dominated by
-        # bilinear gathers proportional to K; keep only the best
-        # max_quad_candidates quads (valid first, larger clusters first) ----
-        kq = min(max_quad_candidates, quads.valid.shape[0])
-        score = jnp.where(quads.valid, clusters.count, jnp.int32(-1))
-        _, sel = jax.lax.top_k(score, kq)
-        quads = quads._replace(corners=quads.corners[sel], valid=quads.valid[sel])
-
-        corners = quads.corners
-        if quad_decimate == 2:
-            # decimated pixel (i, j) is the mean of full pixels 2i..2i+1 x
-            # 2j..2j+1, i.e. its center sits at full coord 2*c + 0.5.
-            corners = corners * 2.0 + 0.5
-        # Pack 2x2 neighborhoods once; refine + decode then bilinear-sample
-        # with one gather per sample instead of four (homography.py).
-        packed = pack_neighborhood(gray)
-        if refine:
-            corners = refine_quads(packed, corners, quads.valid)
-        dec = decode(packed, corners, quads.valid)  # [K] fields
-
-        # --- rank by decision margin, dedup by tag id ----------------------
-        margin = jnp.where(dec.valid, dec.decision_margin, -1.0)
-        order = jnp.argsort(-margin)  # best first
-        ids_s = dec.tag_id[order]
-        margins_s = margin[order]
-        corners_s = dec.corners[order]
-        ham_s = dec.hamming[order]
-        valid_s = dec.valid[order]
-
-        # Dedup: a detection is kept only if no earlier (better) slot has the
-        # same tag id. K x K mask, K = MAX_CLUSTERS (static, small).
-        k = ids_s.shape[0]
-        same = ids_s[None, :] == ids_s[:, None]  # [k, k]
-        earlier = jnp.tril(jnp.ones((k, k), bool), k=-1)
-        dup = jnp.any(same & earlier & valid_s[None, :], axis=1)
-        keep = valid_s & ~dup
-
-        # Compact the kept detections to the front, truncate to capacity.
-        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-        slot = jnp.where(keep & (pos < max_detections), pos, max_detections)
-
-        def compact(v, fill):
-            buf = jnp.full((max_detections + 1, *v.shape[1:]), fill, v.dtype)
-            return buf.at[slot].set(v, mode="drop")[:max_detections]
-
-        return Detections(
-            ids=compact(ids_s, jnp.int32(-1)),
-            corners=compact(corners_s, jnp.float32(0)),
-            decision_margins=compact(margins_s, jnp.float32(0)),
-            hammings=compact(ham_s, jnp.int32(0)),
-            valid=compact(keep, False),
-        )
+        return finish(gray, clusters)
 
     @jax.jit
     def detect(gray_batch):

@@ -10,27 +10,46 @@ Public packaging of the scaling recipe the driver dryrun exercises
 - jit + committed input shardings let GSPMD partition the whole fused
   program; collectives ride ICI.
 
-For frames too large per chip, the ``space`` axis row-shards the
-stencil-heavy early stages with explicit ppermute halo/seam exchange
-(parallel/sharded_stages.py); this module's step keeps frames whole per
-chip, which is the right layout for multi-camera rigs of normal frames
-(N cameras -> N/devices cameras per chip).
+With ``spatial=True`` the ``space`` mesh axis additionally row-shards each
+frame END TO END through one program (the TPU re-architecture of the
+reference's sketched chunked-row cluster merge,
+``crates/chalkydri-apriltags/src/lib.rs:555-613``):
+
+- decimation, adaptive threshold and CCL run on each chip's row block with
+  ppermute halo/seam exchange over ICI (sharded_stages.py),
+- boundary-candidate extraction runs per shard (1-row halo down over ICI),
+  emitting exactly the global candidate set with globally-valid labels and
+  coordinates,
+- each shard block-compacts its candidates (they are tiny after
+  compaction — kilobytes) and an ICI all-gather hands every chip the full
+  set; because the cluster sort orders by the TOTAL key (black, white,
+  payload), the result is a function of the candidate SET, and the
+  downstream cluster -> quad -> refine -> decode -> solve tail is
+  bit-identical to the single-device program (asserted in
+  tests/test_sharding.py),
+- the tail runs replicated across 'space' (it is light: a few-hundred-KB
+  sort + 16-64 quads), so its outputs are whole per data-shard.
 
 Usage:
 
-    mesh = make_mesh(8)
-    step, place = make_sharded_vision_pipeline(layout, params, rc, mesh)
+    mesh = make_mesh(8, space=2)
+    step, place = make_sharded_vision_pipeline(layout, params, rc, mesh,
+                                               spatial=True)
     out = step(*place(frames_np, gyro_np))   # out fields sharded over 'data'
 """
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from chalkydri_tpu.geometry.field_layout import FieldLayout
 from chalkydri_tpu.geometry.transforms import SE3
 from chalkydri_tpu.parallel.mesh import batch_sharding, frame_sharding
-from chalkydri_tpu.pipeline import make_vision_pipeline
+from chalkydri_tpu.pipeline import make_frame_solver, make_vision_pipeline
 
 
 def make_sharded_vision_pipeline(
@@ -38,6 +57,7 @@ def make_sharded_vision_pipeline(
     camera_params: jax.Array,  # [B, 9]
     robot_to_cam: SE3,  # batched [B, 3, 3] / [B, 3]
     mesh,
+    spatial: bool = False,
     **pipeline_kwargs,
 ):
     """Build (step, place) for a camera rig sharded over mesh axis 'data'.
@@ -48,6 +68,11 @@ def make_sharded_vision_pipeline(
     'data' axis size. ``place(frames, gyro)`` device_puts host arrays with
     the right shardings — call it once per iteration with fresh capture
     data.
+
+    ``spatial=True``: frame rows additionally shard over the 'space' axis
+    through the ENTIRE detect+solve program (see module docstring); frame
+    height must divide into ``space * 8`` (``space * 4`` at
+    quad_decimate=1) so each shard's decimated block tiles cleanly.
     """
     n_data = mesh.shape["data"]
     b = camera_params.shape[0]
@@ -64,13 +89,269 @@ def make_sharded_vision_pipeline(
         jax.device_put(robot_to_cam.translation, bs),
     )
 
-    step = make_vision_pipeline(
-        layout, camera_params, robot_to_cam, **pipeline_kwargs
-    )
+    if spatial:
+        step = _make_spatial_step(
+            layout, camera_params, robot_to_cam, mesh, **pipeline_kwargs
+        )
+    else:
+        step = make_vision_pipeline(
+            layout, camera_params, robot_to_cam, **pipeline_kwargs
+        )
 
-    fs = frame_sharding(mesh, spatial=False)
+    fs = frame_sharding(mesh, spatial=spatial)
 
     def place(frames, gyro):
         return jax.device_put(frames, fs), jax.device_put(gyro, bs)
 
     return step, place
+
+
+def _fetch_rows(x: jax.Array, axis_name: str, direction: int) -> jax.Array:
+    """Ring-shift row slices over the mesh axis. direction +1: receive the
+    payload from the shard ABOVE (they send downward)."""
+    n = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + direction) % n) for i in range(n)]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+def _make_spatial_step(
+    layout: FieldLayout,
+    camera_params: jax.Array,  # [B, 9] (sharded over 'data')
+    robot_to_cam: SE3,
+    mesh,
+    family: str | None = None,
+    bits_corrected: int | None = None,
+    tag_size: float | None = None,
+    sign_flip: float | None = None,
+    decision_margin_min: float = 0.0,
+    refine: bool = True,
+    detector_kwargs: dict | None = None,
+):
+    """The fused spatially-sharded step: one shard_map program spanning
+    decimate -> threshold -> CCL -> boundary extract -> candidate
+    all-gather -> cluster -> quad -> refine -> decode -> SQPnP."""
+    from chalkydri_tpu.detector.cluster import (
+        MAX_CLUSTER_POINTS,
+        MAX_CLUSTERS,
+        MAX_EDGE_POINTS,
+        MIN_CLUSTER_POINTS,
+        cluster_candidates,
+        extract_boundary_points,
+    )
+    from chalkydri_tpu.detector.decode import make_decoder
+    from chalkydri_tpu.detector.families import (
+        DEFAULT_BITS_CORRECTED,
+        DEFAULT_FAMILY,
+        load_family,
+    )
+    from chalkydri_tpu.detector.pipeline import make_post_cluster
+    from chalkydri_tpu.detector.segment import INVALID
+    from chalkydri_tpu.detector.threshold import MIN_WHITE_BLACK_DIFF, TILE
+    from chalkydri_tpu.geometry.tags import TAG_SIZE
+    from chalkydri_tpu.parallel.sharded_stages import (
+        _exchange_halo,
+        _threshold_block,
+        label_components_block,
+    )
+    from chalkydri_tpu.pipeline import VisionOutput
+    from chalkydri_tpu.geometry.transforms import matrix_to_yaw
+    from chalkydri_tpu.solver.robot_pose import SIGN_FLIP_CONST
+
+    dk = dict(detector_kwargs or {})
+    qd = int(dk.get("quad_decimate", 2))
+    ccl_iters = int(dk.get("ccl_iters", 12))
+    edge_cap = int(dk.get("max_edge_points", MAX_EDGE_POINTS))
+    max_clusters = int(dk.get("max_clusters", MAX_CLUSTERS))
+    cluster_points = int(dk.get("cluster_points", MAX_CLUSTER_POINTS))
+    max_quad_candidates = int(dk.get("max_quad_candidates", 32))
+    max_detections = int(dk.get("max_detections", 16))
+    assert qd in (1, 2)
+
+    fam = load_family(family or DEFAULT_FAMILY)
+    decode = make_decoder(
+        fam,
+        bits_corrected=(
+            DEFAULT_BITS_CORRECTED if bits_corrected is None else bits_corrected
+        ),
+    )
+    finish = make_post_cluster(
+        decode, refine=refine, quad_decimate=qd,
+        max_detections=max_detections,
+        max_quad_candidates=max_quad_candidates,
+    )
+    solve_frame = make_frame_solver(
+        layout,
+        tag_size=TAG_SIZE if tag_size is None else tag_size,
+        sign_flip=SIGN_FLIP_CONST if sign_flip is None else sign_flip,
+        decision_margin_min=decision_margin_min,
+    )
+
+    n_space = mesh.shape["space"]
+
+    cluster_fn = partial(
+        cluster_candidates,
+        max_points=edge_cap, max_clusters=max_clusters,
+        cluster_points=cluster_points, min_points=MIN_CLUSTER_POINTS,
+    )
+
+    def body(frames_blk, gyro_blk, params_blk, rc_rot_blk, rc_t_blk):
+        bl, hl, w = frames_blk.shape
+        idx = jax.lax.axis_index("space")
+        last = n_space - 1
+
+        # -- 1. decimation (local: hl is even by construction) -------------
+        if qd == 2:
+            s = jax.lax.reduce_window(
+                frames_blk.astype(jnp.uint16), jnp.uint16(0), jax.lax.add,
+                window_dimensions=(1, 2, 2), window_strides=(1, 2, 2),
+                padding="VALID",
+            )
+            small = (s // 4).astype(jnp.uint8)
+        else:
+            small = frames_blk
+        _, hl2, w2 = small.shape
+        assert hl2 % TILE == 0, (
+            f"per-shard decimated rows {hl2} must tile by {TILE}; pad frame "
+            f"rows to a multiple of space*{TILE * qd}"
+        )
+
+        # -- 2. adaptive threshold with ICI halo exchange -------------------
+        tern = _threshold_block(
+            _exchange_halo(small, "space"), MIN_WHITE_BLACK_DIFF
+        )
+
+        # -- 3. CCL with per-round seam merges ------------------------------
+        labels = label_components_block(tern, hl2, w2, ccl_iters, "space")
+
+        # -- 4. boundary extraction with a 1-up/2-down tern halo ------------
+        # (solidity stencil reaches 1 row; a last-core-row down-edge needs
+        # the below shard's solidity, which reaches 2 rows down)
+        t_above = _fetch_rows(tern[:, -1:, :], "space", +1)
+        t_below2 = _fetch_rows(tern[:, :2, :], "space", -1)
+        t_above = jnp.where(idx == 0, jnp.uint8(127), t_above)
+        t_below2 = jnp.where(idx == last, jnp.uint8(127), t_below2)
+        tern_ext = jnp.concatenate([t_above, tern, t_below2], axis=1)
+
+        l_below = _fetch_rows(labels[:, :1, :], "space", -1)
+        l_below = jnp.where(idx == last, INVALID, l_below)
+        l_pad = jnp.full((bl, 1, w2), INVALID, labels.dtype)
+        labels_ext = jnp.concatenate([l_pad, labels, l_below, l_pad], axis=1)
+
+        row0 = idx * hl2
+        black, white, payload = jax.vmap(
+            lambda t, l: extract_boundary_points(
+                t, l, halo_top=1, halo_bottom=2, y_offset=row0
+            )
+        )(tern_ext, labels_ext)
+        # Drop the (masked-invalid) halo rows' slots so the layout is the
+        # per-shard slice of the single-device enumeration.
+        hext = hl2 + 3
+
+        def core_slice(x):
+            return x.reshape(bl, 2, hext, w2)[:, :, 1:1 + hl2, :].reshape(
+                bl, 2 * hl2 * w2
+            )
+
+        black, white, payload = map(core_slice, (black, white, payload))
+
+        # -- 5. globally-consistent compaction over ICI ---------------------
+        # The single-device path keeps the 2*max_points/128 globally densest
+        # candidate blocks (cluster._compact_blocks). To stay BIT-IDENTICAL
+        # even when that cap drops blocks, the shards reconstruct the exact
+        # same selection: all-gather the per-block candidate COUNTS (tiny),
+        # rank them in the single-device global block order (ties break by
+        # block index, like lax.top_k there), then each shard contributes
+        # its owned selected blocks into a psum — every chip ends up
+        # holding the single-device compacted arrays, bit for bit. ICI
+        # volume: counts ~KBs + 3 x 2*max_points int32 (~1.5 MB).
+        n_seg = hl2 * w2  # per-dir per-shard candidates
+        assert n_seg % 128 == 0, "per-shard candidate segment must block-align"
+        nb_seg = n_seg // 128
+        n_global = 2 * n_space * n_seg
+
+        def reorder_gather(x_local):
+            """[Bl, 2*n] per-shard dir-major -> [Bl, 2*n_space*n] global
+            dir-major (the single-device enumeration order)."""
+            x = x_local.reshape(bl, 2, -1)
+            x = jax.lax.all_gather(x, "space", axis=2, tiled=False)
+            return x.reshape(bl, -1)
+
+        if n_global <= edge_cap:
+            # Single-device path would skip compaction: hand the tail the
+            # full global candidate array in enumeration order.
+            black = reorder_gather(black)
+            white = reorder_gather(white)
+            payload = reorder_gather(payload)
+        else:
+            k_blocks = min((2 * edge_cap) // 128, n_global // 128)
+            counts = (black != jnp.iinfo(jnp.int32).max).reshape(
+                bl, 2 * nb_seg, 128
+            ).sum(axis=2)
+            counts_g = reorder_gather(counts)  # [Bl, n_global/128]
+            _, blk_idx = jax.lax.top_k(counts_g, k_blocks)  # [Bl, k]
+
+            # Owner + local position of each selected global block.
+            per_dir = n_space * nb_seg
+            dir_i = blk_idx // per_dir
+            rem = blk_idx % per_dir
+            owner = rem // nb_seg
+            local_blk = dir_i * nb_seg + rem % nb_seg
+            mine = owner == idx
+
+            def contribute(x_local):
+                xb = x_local.reshape(bl, 2 * nb_seg, 128)
+                take = jnp.take_along_axis(xb, local_blk[..., None], axis=1)
+                part = jnp.where(mine[..., None], take, 0)
+                return jax.lax.psum(part, "space").reshape(bl, k_blocks * 128)
+
+            black = contribute(black)
+            white = contribute(white)
+            payload = contribute(payload)
+
+        # -- 6. cluster -> quad -> refine -> decode (replicated over
+        # 'space'; the full-resolution frame is re-assembled over ICI for
+        # the sub-pixel sampling stages) ------------------------------------
+        clusters = jax.vmap(cluster_fn)(black, white, payload)
+        gray_full = jax.lax.all_gather(frames_blk, "space", axis=1, tiled=True)
+        dets = jax.vmap(finish)(gray_full, clusters)
+
+        # -- 7. SQPnP + gyro fusion per frame -------------------------------
+        res, n_tags = jax.vmap(solve_frame)(
+            dets, params_blk, rc_rot_blk, rc_t_blk, gyro_blk
+        )
+        yaw = matrix_to_yaw(res.rotation)
+        return VisionOutput(
+            pose_x=res.position[:, 0],
+            pose_y=res.position[:, 1],
+            pose_yaw=yaw,
+            std_devs=res.std_devs,
+            pose_valid=res.valid & (n_tags > 0),
+            tag_count=n_tags,
+            detections=dets,
+        )
+
+    sharded_body = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("data", "space", None),  # frames [B, H, W]
+            P("data"),  # gyro
+            P("data", None),  # camera params
+            P("data", None, None),  # robot_to_cam rotation
+            P("data", None),  # robot_to_cam translation
+        ),
+        out_specs=P("data"),
+        # The tail past the all-gathers computes identical values on every
+        # 'space' member; vma tracking can't see that through ppermute, so
+        # the replication check is off.
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(frames, gyro):
+        return sharded_body(
+            frames, gyro, camera_params,
+            robot_to_cam.rotation, robot_to_cam.translation,
+        )
+
+    return step

@@ -85,6 +85,89 @@ def _threshold_block(gray_ext: jax.Array, min_diff: int) -> jax.Array:
     return tern[:, HALO_ROWS:-HALO_ROWS, :]
 
 
+def label_components_block(block: jax.Array, hl: int, w: int,
+                           iters: int, axis_name: str = "space") -> jax.Array:
+    """CCL over one shard's row block [B, hl, w] with per-round seam
+    exchange over ``axis_name`` — the reusable body of
+    ``sharded_label_components``, also inlined by the fused spatial
+    pipeline (parallel/pipeline.py)."""
+    from chalkydri_tpu.detector.segment import (
+        INVALID,
+        _connectivity_masks,
+        _neighbor_min,
+        _segmented_min_scan,
+    )
+
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+    row0 = idx * hl  # global row offset of this shard
+
+    valid = block != 127
+    local_rows = jax.lax.broadcasted_iota(jnp.int32, (1, hl, w), 1)
+    local_cols = jax.lax.broadcasted_iota(jnp.int32, (1, hl, w), 2)
+    flat = (local_rows + row0) * w + local_cols
+    labels = jnp.where(valid, flat, INVALID)
+
+    masks = _connectivity_masks(block, valid)
+
+    # Value halos are round-invariant: fetch neighbors' boundary value
+    # rows once.
+    def fetch(rows, direction):
+        # direction +1: receive from the shard ABOVE (their bottom row).
+        perm = [(i, (i + direction) % n) for i in range(n)]
+        return jax.lax.ppermute(rows, axis_name, perm)
+
+    val_above = fetch(block[:, -1:, :], +1)  # row h-1 of shard idx-1
+    val_below = fetch(block[:, :1, :], -1)  # row 0 of shard idx+1
+    # Edge shards have no neighbor: poison with 'skip' so no merge.
+    val_above = jnp.where(idx == 0, jnp.uint8(127), val_above)
+    val_below = jnp.where(idx == n - 1, jnp.uint8(127), val_below)
+
+    top_val = block[:, :1, :]
+    bot_val = block[:, -1:, :]
+    is_white_top = top_val == 255
+    is_white_bot = bot_val == 255
+
+    def seam_min(lab):
+        """Min labels across the shard seams (4-conn + white diagonals)."""
+        lab_above = fetch(lab[:, -1:, :], +1)
+        lab_below = fetch(lab[:, :1, :], -1)
+        lab_above = jnp.where(idx == 0, INVALID, lab_above)
+        lab_below = jnp.where(idx == n - 1, INVALID, lab_below)
+
+        def merge_row(row_lab, row_val, n_lab, n_val, white_mask):
+            m = row_lab
+            for dx in (0, 1, -1):
+                nl = jnp.roll(n_lab, dx, axis=2) if dx else n_lab
+                nv = jnp.roll(n_val, dx, axis=2) if dx else n_val
+                if dx == 1:
+                    nl = nl.at[:, :, :1].set(INVALID)
+                    nv = nv.at[:, :, :1].set(jnp.uint8(127))
+                elif dx == -1:
+                    nl = nl.at[:, :, -1:].set(INVALID)
+                    nv = nv.at[:, :, -1:].set(jnp.uint8(127))
+                same = nv == row_val
+                if dx != 0:
+                    same = same & white_mask  # diagonals: white only
+                m = jnp.minimum(m, jnp.where(same, nl, INVALID))
+            return m
+
+        top = merge_row(lab[:, :1, :], top_val, lab_above, val_above,
+                        is_white_top)
+        bot = merge_row(lab[:, -1:, :], bot_val, lab_below, val_below,
+                        is_white_bot)
+        return jnp.concatenate([top, lab[:, 1:-1, :], bot], axis=1)
+
+    def body(_, lab):
+        lab = seam_min(lab)
+        lab = _neighbor_min(lab, masks)
+        lab = _segmented_min_scan(lab, block, axis=2)
+        lab = _segmented_min_scan(lab, block, axis=1)
+        return jnp.where(valid, lab, INVALID)
+
+    return jax.lax.fori_loop(0, iters, body, labels)
+
+
 def sharded_label_components(
     tern: jax.Array, mesh: Mesh, iters: int = 16
 ) -> jax.Array:
@@ -101,13 +184,6 @@ def sharded_label_components(
     Labels stay globally meaningful: each shard offsets its flat indices by
     its global row offset.
     """
-    from chalkydri_tpu.detector.segment import (
-        INVALID,
-        _connectivity_masks,
-        _neighbor_min,
-        _segmented_min_scan,
-    )
-
     n_space = mesh.shape["space"]
     b, h, w = tern.shape
     hl = h // n_space
@@ -115,75 +191,7 @@ def sharded_label_components(
 
     @partial(jax.shard_map, mesh=mesh, in_specs=spec, out_specs=spec)
     def run(block):
-        bb, _, _ = block.shape
-        idx = jax.lax.axis_index("space")
-        n = jax.lax.axis_size("space")
-        row0 = idx * hl  # global row offset of this shard
-
-        valid = block != 127
-        local_rows = jax.lax.broadcasted_iota(jnp.int32, (1, hl, w), 1)
-        local_cols = jax.lax.broadcasted_iota(jnp.int32, (1, hl, w), 2)
-        flat = (local_rows + row0) * w + local_cols
-        labels = jnp.where(valid, flat, INVALID)
-
-        masks = _connectivity_masks(block, valid)
-
-        # Value halos are round-invariant: fetch neighbors' boundary value
-        # rows once.
-        def fetch(rows, direction):
-            # direction +1: receive from the shard ABOVE (their bottom row).
-            perm = [(i, (i + direction) % n) for i in range(n)]
-            return jax.lax.ppermute(rows, "space", perm)
-
-        val_above = fetch(block[:, -1:, :], +1)  # row h-1 of shard idx-1
-        val_below = fetch(block[:, :1, :], -1)  # row 0 of shard idx+1
-        # Edge shards have no neighbor: poison with 'skip' so no merge.
-        val_above = jnp.where(idx == 0, jnp.uint8(127), val_above)
-        val_below = jnp.where(idx == n - 1, jnp.uint8(127), val_below)
-
-        top_val = block[:, :1, :]
-        bot_val = block[:, -1:, :]
-        is_white_top = top_val == 255
-        is_white_bot = bot_val == 255
-
-        def seam_min(lab):
-            """Min labels across the shard seams (4-conn + white diagonals)."""
-            lab_above = fetch(lab[:, -1:, :], +1)
-            lab_below = fetch(lab[:, :1, :], -1)
-            lab_above = jnp.where(idx == 0, INVALID, lab_above)
-            lab_below = jnp.where(idx == n - 1, INVALID, lab_below)
-
-            def merge_row(row_lab, row_val, n_lab, n_val, white_mask):
-                m = row_lab
-                for dx in (0, 1, -1):
-                    nl = jnp.roll(n_lab, dx, axis=2) if dx else n_lab
-                    nv = jnp.roll(n_val, dx, axis=2) if dx else n_val
-                    if dx == 1:
-                        nl = nl.at[:, :, :1].set(INVALID)
-                        nv = nv.at[:, :, :1].set(jnp.uint8(127))
-                    elif dx == -1:
-                        nl = nl.at[:, :, -1:].set(INVALID)
-                        nv = nv.at[:, :, -1:].set(jnp.uint8(127))
-                    same = nv == row_val
-                    if dx != 0:
-                        same = same & white_mask  # diagonals: white only
-                    m = jnp.minimum(m, jnp.where(same, nl, INVALID))
-                return m
-
-            top = merge_row(lab[:, :1, :], top_val, lab_above, val_above,
-                            is_white_top)
-            bot = merge_row(lab[:, -1:, :], bot_val, lab_below, val_below,
-                            is_white_bot)
-            return jnp.concatenate([top, lab[:, 1:-1, :], bot], axis=1)
-
-        def body(_, lab):
-            lab = seam_min(lab)
-            lab = _neighbor_min(lab, masks)
-            lab = _segmented_min_scan(lab, block, axis=2)
-            lab = _segmented_min_scan(lab, block, axis=1)
-            return jnp.where(valid, lab, INVALID)
-
-        return jax.lax.fori_loop(0, iters, body, labels)
+        return label_components_block(block, hl, w, iters)
 
     return run(tern)
 

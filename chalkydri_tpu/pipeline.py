@@ -47,34 +47,21 @@ class VisionOutput(NamedTuple):
     detections: Detections  # per-frame detections (ids/corners/margins)
 
 
-def make_vision_pipeline(
+def make_frame_solver(
     layout: FieldLayout,
-    camera_params: jax.Array,  # [B, 9] per-camera OpenCVModel5 params
-    robot_to_cam: SE3,  # batched [B, 3, 3] / [B, 3]
-    family: str = DEFAULT_FAMILY,
-    bits_corrected: int = DEFAULT_BITS_CORRECTED,
     tag_size: float = TAG_SIZE,
     sign_flip: float = SIGN_FLIP_CONST,
     decision_margin_min: float = 0.0,
-    refine: bool = True,
-    detector_kwargs: dict | None = None,
-    input_format: str = "GREY",
+    dtype=None,
 ):
-    """Build the jitted fused step for a fixed camera rig.
-
-    Static per-rig data (field layout, intrinsics, extrinsics) are closed
-    over as device constants; per-iteration inputs are frames + gyro.
-    """
-    detect = make_detector(
-        family=family, bits_corrected=bits_corrected, refine=refine,
-        **(detector_kwargs or {}),
-    )
-    dtype = jnp.float32
-    cam_models = OpenCVModel5(camera_params.astype(dtype))
+    """Build the per-frame ``solve_frame(dets, cam_params_row, rc_rot,
+    rc_t, gyro) -> (RobotPoseResult, n_tags)`` closure over a field layout.
+    Shared by the single-chip fused step (``make_vision_pipeline``) and the
+    spatially-sharded multi-chip step (parallel/pipeline.py)."""
+    dtype = dtype or jnp.float32
     tag_rot_table = layout.rotations.astype(dtype)
     tag_t_table = layout.translations.astype(dtype)
     tag_present = layout.present
-    rc = SE3(robot_to_cam.rotation.astype(dtype), robot_to_cam.translation.astype(dtype))
 
     @highest_precision
     def solve_frame(dets: Detections, cam_params_row, rc_rot, rc_t, gyro):
@@ -99,6 +86,39 @@ def make_vision_pipeline(
             sign_change_error=sign_flip, tag_size=tag_size,
         )
         return res, jnp.sum(tag_ok).astype(jnp.int32)
+
+    return solve_frame
+
+
+def make_vision_pipeline(
+    layout: FieldLayout,
+    camera_params: jax.Array,  # [B, 9] per-camera OpenCVModel5 params
+    robot_to_cam: SE3,  # batched [B, 3, 3] / [B, 3]
+    family: str = DEFAULT_FAMILY,
+    bits_corrected: int = DEFAULT_BITS_CORRECTED,
+    tag_size: float = TAG_SIZE,
+    sign_flip: float = SIGN_FLIP_CONST,
+    decision_margin_min: float = 0.0,
+    refine: bool = True,
+    detector_kwargs: dict | None = None,
+    input_format: str = "GREY",
+):
+    """Build the jitted fused step for a fixed camera rig.
+
+    Static per-rig data (field layout, intrinsics, extrinsics) are closed
+    over as device constants; per-iteration inputs are frames + gyro.
+    """
+    detect = make_detector(
+        family=family, bits_corrected=bits_corrected, refine=refine,
+        **(detector_kwargs or {}),
+    )
+    dtype = jnp.float32
+    cam_models = OpenCVModel5(camera_params.astype(dtype))
+    rc = SE3(robot_to_cam.rotation.astype(dtype), robot_to_cam.translation.astype(dtype))
+    solve_frame = make_frame_solver(
+        layout, tag_size=tag_size, sign_flip=sign_flip,
+        decision_margin_min=decision_margin_min, dtype=dtype,
+    )
 
     @jax.jit
     def step(frames: jax.Array, gyro: jax.Array) -> VisionOutput:
