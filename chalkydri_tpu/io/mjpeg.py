@@ -20,11 +20,23 @@ MAX_FPS = 20  # mjpeg.rs:30-50
 
 
 class MjpegServer:
-    """Serve one FrameRing at /stream (and a trivial index at /)."""
+    """Serve FrameRings as MJPEG streams (and a trivial index at /).
 
-    def __init__(self, ring: FrameRing, host: str = "0.0.0.0", port: int = 8080,
+    Accepts a single ring (served at ``/stream``, the round-1/2 surface) or
+    a ``{path: ring}`` dict — e.g. ``{"/stream": preview_ring, "/field":
+    field_view.ring}`` for the driver-station preview next to the top-down
+    field/pose view (subsystems/field_view.py, the rerun 3D-state parity
+    surface)."""
+
+    def __init__(self, ring, host: str = "0.0.0.0", port: int = 8080,
                  max_fps: int = MAX_FPS):
-        self.ring = ring
+        if isinstance(ring, FrameRing):
+            self.rings = {"/stream": ring}
+        else:
+            self.rings = {
+                ("/" + p.lstrip("/")): r for p, r in dict(ring).items()
+            }
+        self.ring = self.rings.get("/stream")
         self.max_fps = max_fps
         outer = self
 
@@ -34,16 +46,19 @@ class MjpegServer:
 
             def do_GET(self):
                 if self.path.rstrip("/") in ("", "/index.html"):
-                    body = (
-                        b"<html><body><img src='/stream'/></body></html>"
+                    imgs = "".join(
+                        f"<div><h3>{p}</h3><img src='{p}'/></div>"
+                        for p in sorted(outer.rings)
                     )
+                    body = f"<html><body>{imgs}</body></html>".encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "text/html")
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
                     self.wfile.write(body)
                     return
-                if self.path != "/stream":
+                target = outer.rings.get(self.path.rstrip("/") or self.path)
+                if target is None:
                     self.send_response(404)
                     self.end_headers()
                     return
@@ -57,7 +72,7 @@ class MjpegServer:
                 last_ts = None
                 try:
                     while True:
-                        item = outer.ring.latest()
+                        item = target.latest()
                         if item is not None and item[0] != last_ts:
                             last_ts, jpeg = item
                             self.wfile.write(b"--" + BOUNDARY + b"\r\n")

@@ -97,15 +97,26 @@ def main(argv=None) -> int:
     )
     if wants_mjpeg:
         from chalkydri_tpu.io.mjpeg import MjpegServer
+        from chalkydri_tpu.subsystems.field_view import FieldView
         from chalkydri_tpu.subsystems.overlay import PreviewOverlay
 
         overlay = PreviewOverlay()
         app.add_frame_observer(overlay.on_frame)
         app.add_detection_observer(overlay.on_detections)
-        mjpeg_server = MjpegServer(overlay.ring, port=args.mjpeg_port or 8080)
+        # Top-down field view (tag layout + pose trace + frusta) at /field —
+        # the rerun 3D-state parity surface (monitor.rs:22-31).
+        field_view = FieldView(layout=layout)
+        app.add_pose_observer(field_view.on_pose)
+        mjpeg_server = MjpegServer(
+            {"/stream": overlay.ring, "/field": field_view.ring},
+            port=args.mjpeg_port or 8080,
+        )
         mjpeg_server.start()
-        print(f"MJPEG preview: http://0.0.0.0:{mjpeg_server.port}/stream",
-              file=sys.stderr)
+        print(
+            f"MJPEG preview: http://0.0.0.0:{mjpeg_server.port}/stream | "
+            f"field view: http://0.0.0.0:{mjpeg_server.port}/field",
+            file=sys.stderr,
+        )
 
     try:
         app.run(max_iters=args.iters, rate_hz=args.rate)

@@ -68,6 +68,10 @@ def main(argv=None) -> int:
     p.add_argument("--field", default=None)
     p.add_argument("--rate", type=float, default=None, help="Hz cap")
     p.add_argument("--json", action="store_true", help="one-line JSON report")
+    p.add_argument("--pipeline-depth", type=int, default=1,
+                   help="App async-dispatch depth: 1 overlaps capture with "
+                        "device compute (throughput mode), 0 publishes the "
+                        "same iteration's frames (latency mode)")
     args = p.parse_args(argv)
 
     import socket
@@ -112,12 +116,15 @@ def main(argv=None) -> int:
 
     comm = Comm(remote_addr="127.0.0.1", remote_port=port, gyro_port=0,
                 use_native=False)
-    app = App(graph, field_layout=layout, comm=comm)
+    app = App(graph, field_layout=layout, comm=comm,
+              pipeline_depth=args.pipeline_depth)
     app.start_all_tasks()
 
     iter_times = []
     rx_packets = 0
     rx_with_tags = 0
+    rx_latency_us = []  # capture(tov) -> publish wall latency, from the
+    #                     packet's own ts field (apriltags/src/lib.rs:351)
     rss0 = None
     t_end = None  # set after the first iteration: the soak window measures
     #               steady state, not the one-time jit compile
@@ -139,8 +146,10 @@ def main(argv=None) -> int:
                 except BlockingIOError:
                     break
                 rx_packets += 1
-                _, _, _, _, n = decode_measurement(data)
+                _, _, ts_us, _, n = decode_measurement(data)
                 rx_with_tags += int(n > 0)
+                if n > 0 and len(iter_times) > 5:  # warm, real solves only
+                    rx_latency_us.append(ts_us)
             if period:
                 dt = time.monotonic() - t0
                 if dt < period:
@@ -157,11 +166,22 @@ def main(argv=None) -> int:
     warm = iter_times[5:] if len(iter_times) > 5 else iter_times
     it = np.array(warm if warm else [float("nan")])
     rss1 = _rss_mb()
+    lat = np.array(rx_latency_us, np.float64) / 1000.0  # -> ms
     report = {
         "iterations": len(iter_times),
+        "pipeline_depth": args.pipeline_depth,
         "sustained_hz": round(1.0 / max(float(np.median(it)), 1e-9), 1),
         "iter_ms_p50": round(float(np.median(it)) * 1000, 2),
         "iter_ms_p99": round(float(np.quantile(it, 0.99)) * 1000, 2),
+        # End-to-end latency SLO: each packet carries its own capture(tov)
+        # -> publish delta in its ts field (apriltags/src/lib.rs:351); over
+        # loopback UDP this IS the capture -> robot-packet wall latency.
+        "capture_to_udp_ms_p50": (
+            round(float(np.median(lat)), 2) if lat.size else None
+        ),
+        "capture_to_udp_ms_p99": (
+            round(float(np.quantile(lat, 0.99)), 2) if lat.size else None
+        ),
         "packets_rx": rx_packets,
         "packets_with_tags": rx_with_tags,
         "rss_mb_start": round(rss0 or 0.0, 1),
