@@ -56,6 +56,9 @@ class Clusters(NamedTuple):
     mask: jax.Array  # [K, P] bool
     count: jax.Array  # [K] int32 (true population, may exceed P)
     valid: jax.Array  # [K] bool (count >= MIN_CLUSTER_POINTS)
+    dropped: jax.Array  # [] int32 — boundary candidates lost to capacity
+    #   compaction this frame (0 in benign scenes; nonzero = the capacity
+    #   degradation mode is ACTIVE and visible to soak/telemetry)
 
 
 # Edge directions (dy, dx). libapriltag walks four (incl. diagonals); we
@@ -153,21 +156,70 @@ def extract_boundary_points(
     return cat(blacks), cat(whites), cat(payloads)
 
 
-def _compact_blocks(black, white, payload, cap):
-    """Block-sparse compaction: keep the `cap // 128` densest 128-candidate
-    blocks (most blocks carry no boundary candidates at all — tags cover a
-    small fraction of the frame). Returns (black, white, payload), length
-    k*128 where k = min(cap // 128, n_blocks).
+def select_blocks(counts: jax.Array, cap: int, n_dirs: int = len(_DIRS),
+                  row_dilate: int = 0):
+    """Rank candidate blocks for compaction: the indices of the kept
+    blocks, ordered (used by both the single-device compaction below and
+    the spatially-sharded globally-consistent reconstruction in
+    parallel/pipeline.py — the two must agree bit for bit).
 
-    Degradation when more than cap/128 blocks are non-empty: the sparsest
-    blocks are dropped whole. Blocks are ~128 horizontally-adjacent pixels,
-    so a tag's top/bottom edges live in dense blocks while its LEFT/RIGHT
-    edges contribute only ~2 candidates per block — under extreme pressure
-    (>= cap/128 occupied blocks, i.e. a heavily textured decimated frame)
-    side-edge blocks are evicted before dense noise blocks. The caller
-    mitigates by requesting 2x slack and slicing invalid rows off after
-    the sort; the pre-compaction dense-sort path dropped largest-label
-    clusters instead — both are capacity heuristics, this one ~8x cheaper.
+    Two defenses against directional texture (stripes, wood grain,
+    fences — the round-2 capacity cliff, VERDICT item 7), which floods ONE
+    direction's candidates (horizontal stripes emit only down-edges) and
+    under plain density ranking evicted every tag block:
+
+    - per-direction budgets (cap/n_dirs densest blocks each, ties by block
+      index — lax.top_k semantics): the orthogonal direction's tag edges
+      always survive one-directional noise outright;
+    - a both-directions boost: blocks whose 128-pixel span carries >= 3
+      edges in BOTH directions (tag borders/corners and their data-cell
+      interiors do; straight texture boundaries don't, and a texture
+      stripe's END contributes only 1-2 orthogonal candidates) rank above
+      any single-direction block, so a tag's down-edges beat full stripe
+      blocks inside the flooded direction's own budget too — without
+      stripe-end blocks consuming the boost budget.
+
+    counts: [..., nb] per-block candidate counts, nb divisible by n_dirs,
+    direction-major (the extract_boundary_points concatenation order).
+    ``row_dilate``: the boost's "both directions" test looks this many
+    blocks to either side in flat block order — callers pass ~one image
+    row of blocks, because a tag's top-edge down-candidates sit one pixel
+    row above its side-edge right-candidates and would otherwise never
+    pair up within one block span. Returns blk_idx [..., k_total].
+    """
+    nb = counts.shape[-1]
+    assert nb % n_dirs == 0
+    nb_dir = nb // n_dirs
+    k_dir = max(1, min(cap // 128 // n_dirs, nb_dir))
+    per_dir = counts.reshape(*counts.shape[:-1], n_dirs, nb_dir)
+    present = per_dir > 0
+    if row_dilate:
+        window = 2 * row_dilate + 1
+        present = jax.lax.reduce_window(
+            present, False, jax.lax.bitwise_or,
+            window_dimensions=(1,) * (present.ndim - 1) + (window,),
+            window_strides=(1,) * present.ndim,
+            padding=[(0, 0)] * (present.ndim - 1)
+            + [(row_dilate, row_dilate)],
+        )
+    both = jnp.all(present, axis=-2, keepdims=True)  # [..., 1, nb_dir]
+    score = per_dir + jnp.where(both, 256, 0)
+    _, idx = jax.lax.top_k(score, k_dir)  # [..., n_dirs, k_dir]
+    base = (
+        jnp.arange(n_dirs, dtype=idx.dtype)[:, None] * nb_dir
+    )
+    return (idx + base).reshape(*counts.shape[:-1], n_dirs * k_dir)
+
+
+def _compact_blocks(black, white, payload, cap, row_dilate: int = 0):
+    """Block-sparse compaction: keep the densest 128-candidate blocks per
+    direction (most blocks carry no boundary candidates at all — tags
+    cover a small fraction of the frame). Returns (black, white, payload,
+    dropped), arrays of length ~cap and the count of valid candidates
+    lost to the block drop (0 when occupied blocks fit the cap).
+
+    The caller requests 2x slack and slices invalid rows off after the
+    sort; see ``select_blocks`` for the per-direction ranking rationale.
     """
     block = 128
     n = black.shape[0]
@@ -178,12 +230,16 @@ def _compact_blocks(black, white, payload, cap):
         white = jnp.concatenate([white, fillv])
         payload = jnp.concatenate([payload, jnp.zeros((pad,), jnp.int32)])
     nb = black.shape[0] // block
-    k = min(cap // block, nb)
     counts = (black != _INT_MAX).reshape(nb, block).sum(axis=1)
-    _, blk_idx = jax.lax.top_k(counts, k)
+    blk_idx = select_blocks(counts, cap, row_dilate=row_dilate)
+    dropped = counts.sum() - counts[blk_idx].sum()
     # Row gathers over [nb, 128] (lane-aligned rows): measured ~60x faster
     # on v5e than the equivalent flat 1D gather of the same elements.
-    return tuple(x.reshape(nb, block)[blk_idx].reshape(-1) for x in (black, white, payload))
+    kept = tuple(
+        x.reshape(nb, block)[blk_idx].reshape(-1)
+        for x in (black, white, payload)
+    )
+    return (*kept, dropped.astype(jnp.int32))
 
 
 def cluster_candidates(
@@ -194,6 +250,7 @@ def cluster_candidates(
     max_clusters: int = MAX_CLUSTERS,
     cluster_points: int = MAX_CLUSTER_POINTS,
     min_points: int = MIN_CLUSTER_POINTS,
+    dropped=None,
 ) -> Clusters:
     """Group (possibly compacted) boundary candidates into clusters: the
     sort -> run-length segment -> top-K -> window-gather tail, shared by the
@@ -230,11 +287,38 @@ def cluster_candidates(
     next_start = jnp.minimum(next_start, n)
     run_len = next_start - start_pos
 
-    # --- top-K runs by population ------------------------------------------
+    # --- top-K runs, ranked by DIRECTION DIVERSITY then population ---------
+    # A straight line (directional texture: stripes, fences, wood grain)
+    # produces a large run whose candidates all share one edge direction;
+    # a tag border is a closed quad with both directions represented.
+    # Ranking by raw population let line runs starve the K cluster slots on
+    # textured frames (round-2 capacity cliff, VERDICT item 7), so the
+    # primary key is min(count_dir0, count_dir1) — ~perimeter/4 for a quad,
+    # ~0 for a line — with population as the tiebreak. Benign scenes have
+    # fewer than K real clusters and keep the same set as before.
+    d0 = (((s_payload >> 26) & 0x3) == 0) & s_valid
+    run_end = jnp.concatenate([new_seg[1:], jnp.array([True])])
+
+    def _comb(a, b):
+        va, ba = a
+        vb, bb = b
+        return vb + jnp.where(bb, 0, va), ba | bb
+
+    rev = lambda x: jnp.flip(x, axis=0)
+    r_rev, _ = jax.lax.associative_scan(
+        _comb, (rev(d0.astype(jnp.int32)), rev(run_end))
+    )
+    run_d0 = rev(r_rev)  # at a run START: the run's dir-0 population
+    min_dir = jnp.minimum(run_d0, run_len - run_d0)
+    rank = (
+        jnp.clip(min_dir, 0, (1 << 14) - 1) * (1 << 15)
+        + jnp.clip(run_len, 0, (1 << 15) - 1)
+    )
+
     # A flat top_k over 4M elements costs ~60 ms on v5e; a two-level scheme
     # (per-chunk top-2, then top_k over the 2*n/C chunk winners) costs ~5 ms.
     # Top-2 per chunk guards against two large runs starting in one chunk.
-    score = jnp.where(new_seg & s_valid, run_len, 0)
+    score = jnp.where(new_seg & s_valid, rank, 0)
     chunk = 256
     pad = (-n) % chunk
     if pad:
@@ -252,8 +336,11 @@ def cluster_candidates(
     base = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     cand_score = jnp.concatenate([m1, m2])
     cand_pos = jnp.concatenate([base + a1, base + a2])
-    top_count, top_sel = jax.lax.top_k(cand_score, max_clusters)
+    top_rank, top_sel = jax.lax.top_k(cand_score, max_clusters)
     top_start = cand_pos[top_sel]
+    # Population of each selected run (the rank key is diversity-weighted;
+    # the window gather and validity below need the true run length).
+    top_count = jnp.where(top_rank > 0, run_len[jnp.clip(top_start, 0, n - 1)], 0)
 
     # --- gather fixed-size point windows (small gathers: K x P) ------------
     # Runs larger than the window are stride-subsampled across their whole
@@ -282,7 +369,10 @@ def cluster_candidates(
     points = jnp.where(in_seg[None], points, 0.0)
 
     valid = top_count >= min_points
-    return Clusters(points=points, mask=in_seg, count=top_count, valid=valid)
+    if dropped is None:
+        dropped = jnp.int32(0)
+    return Clusters(points=points, mask=in_seg, count=top_count, valid=valid,
+                    dropped=jnp.asarray(dropped, jnp.int32))
 
 
 @partial(
@@ -299,6 +389,7 @@ def gradient_clusters(
 ) -> Clusters:
     """Cluster boundary points for ONE frame ([H, W] inputs); vmap over batch."""
     black, white, payload = extract_boundary_points(tern, labels)
+    dropped = jnp.int32(0)
 
     # --- block-sparse compaction: the dominant cost of this stage was a
     # 512k-row sort; compacting to the occupied blocks first cuts the sort
@@ -309,12 +400,14 @@ def gradient_clusters(
     # side-edge rows) in play; the sort below sinks the invalid lanes and
     # the post-sort slice discards them ------------------------------------
     if black.shape[0] > max_points:
-        black, white, payload = _compact_blocks(
-            black, white, payload, 2 * max_points
+        black, white, payload, dropped = _compact_blocks(
+            black, white, payload, 2 * max_points,
+            row_dilate=-(-tern.shape[1] // 128) + 1,
         )
 
     return cluster_candidates(
         black, white, payload,
         max_points=max_points, max_clusters=max_clusters,
         cluster_points=cluster_points, min_points=min_points,
+        dropped=dropped,
     )

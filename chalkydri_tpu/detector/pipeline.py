@@ -52,6 +52,9 @@ class Detections(NamedTuple):
     decision_margins: jax.Array  # [B, MAX_DETECTIONS] float32
     hammings: jax.Array  # [B, MAX_DETECTIONS] int32
     valid: jax.Array  # [B, MAX_DETECTIONS] bool
+    dropped_points: jax.Array  # [B] int32 — candidates lost to capacity
+    #   compaction (0 in benign scenes; nonzero makes the degradation mode
+    #   VISIBLE in soak/telemetry instead of silently losing tags)
 
     def count(self):
         return jnp.sum(self.valid, axis=-1)
@@ -142,6 +145,7 @@ def make_post_cluster(
             decision_margins=compact(margins_s, jnp.float32(0)),
             hammings=compact(ham_s, jnp.int32(0)),
             valid=compact(keep, False),
+            dropped_points=clusters.dropped,
         )
 
     return finish

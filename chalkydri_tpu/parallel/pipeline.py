@@ -137,6 +137,7 @@ def _make_spatial_step(
         MIN_CLUSTER_POINTS,
         cluster_candidates,
         extract_boundary_points,
+        select_blocks,
     )
     from chalkydri_tpu.detector.decode import make_decoder
     from chalkydri_tpu.detector.families import (
@@ -282,13 +283,23 @@ def _make_spatial_step(
             black = reorder_gather(black)
             white = reorder_gather(white)
             payload = reorder_gather(payload)
+            dropped = jnp.zeros((bl,), jnp.int32)
         else:
-            k_blocks = min((2 * edge_cap) // 128, n_global // 128)
             counts = (black != jnp.iinfo(jnp.int32).max).reshape(
                 bl, 2 * nb_seg, 128
             ).sum(axis=2)
             counts_g = reorder_gather(counts)  # [Bl, n_global/128]
-            _, blk_idx = jax.lax.top_k(counts_g, k_blocks)  # [Bl, k]
+            # The same per-direction ranking as the single-device
+            # _compact_blocks (cluster.select_blocks) — bit-identical
+            # selection, including its tie-breaks and row dilation.
+            blk_idx = select_blocks(
+                counts_g, 2 * edge_cap, row_dilate=-(-w2 // 128) + 1
+            )  # [Bl, k]
+            k_blocks = blk_idx.shape[-1]
+            dropped = (
+                counts_g.sum(axis=-1)
+                - jnp.take_along_axis(counts_g, blk_idx, axis=-1).sum(axis=-1)
+            ).astype(jnp.int32)
 
             # Owner + local position of each selected global block.
             per_dir = n_space * nb_seg
@@ -311,7 +322,9 @@ def _make_spatial_step(
         # -- 6. cluster -> quad -> refine -> decode (replicated over
         # 'space'; the full-resolution frame is re-assembled over ICI for
         # the sub-pixel sampling stages) ------------------------------------
-        clusters = jax.vmap(cluster_fn)(black, white, payload)
+        clusters = jax.vmap(
+            lambda b_, w_, p_, d_: cluster_fn(b_, w_, p_, dropped=d_)
+        )(black, white, payload, dropped)
         gray_full = jax.lax.all_gather(frames_blk, "space", axis=1, tiled=True)
         dets = jax.vmap(finish)(gray_full, clusters)
 

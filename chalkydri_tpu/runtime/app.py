@@ -175,6 +175,10 @@ class App:
         self._frame_observers: list = []
         self._detection_observers: list = []
         self._pose_observers: list = []
+        # Cumulative boundary candidates lost to detector capacity
+        # compaction (visible degradation counter; see Detections
+        # .dropped_points). Health tools (soak) report it.
+        self.dropped_points_total = 0
 
         # -- AAEC: adaptive active exposure control --------------------------
         # A graph node of type "Aaec" activates the closed loop (the
@@ -472,13 +476,14 @@ class App:
         TPU transports). The large detections tensor stays on device."""
         import jax
 
-        x, y, yaw, std, valid, n = jax.device_get(
+        x, y, yaw, std, valid, n, dropped = jax.device_get(
             (out.pose_x, out.pose_y, out.pose_yaw, out.std_devs,
-             out.pose_valid, out.tag_count)
+             out.pose_valid, out.tag_count, out.detections.dropped_points)
         )
         return out._replace(
             pose_x=x, pose_y=y, pose_yaw=yaw, std_devs=std,
             pose_valid=valid, tag_count=n,
+            detections=out.detections._replace(dropped_points=dropped),
         )
 
     def _publish_with(self, ch: FusedChain, out, b: int, fresh: bool,
@@ -582,6 +587,9 @@ class App:
                 outs.append(out)
                 with span("app.fetch_publish"):
                     host_out = self._fetch_small(out)
+                    self.dropped_points_total += int(
+                        np.sum(host_out.detections.dropped_points)
+                    )
                     for b, ch in enumerate(g.chains):
                         fresh, tov = states[b]
                         self._publish_with(ch, host_out, b, fresh, tov)

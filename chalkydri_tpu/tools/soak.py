@@ -184,6 +184,9 @@ def main(argv=None) -> int:
         ),
         "packets_rx": rx_packets,
         "packets_with_tags": rx_with_tags,
+        # Detector capacity health: >0 means scenes exceeded the candidate
+        # compaction budget and the degradation mode is active.
+        "dropped_candidates": app.dropped_points_total,
         "rss_mb_start": round(rss0 or 0.0, 1),
         "rss_mb_end": round(rss1, 1),
         "rss_drift_mb": round(rss1 - (rss0 or rss1), 1),

@@ -697,3 +697,64 @@ class TestHomographyPrecision:
             mapped = apply_homography(h, TAG_CORNERS)
         err = float(jnp.max(jnp.abs(mapped - corners)))
         assert err < 0.02, f"homography pixel error {err:.3f}px under bf16"
+
+
+class TestAdversarialCapacity:
+    """VERDICT round-2 directive 7: scenes engineered past the compaction
+    slack — dense directional texture flooding one direction's candidates,
+    tags pushed to the frame corners. Round 2's density-ranked compaction
+    lost every tag here; the per-direction budgets + row-dilated
+    both-directions boost (cluster.select_blocks) plus direction-diversity
+    cluster ranking must keep them decoding, and the capacity counter must
+    make the degradation mode visible."""
+
+    H, W = 800, 1280
+    TAGS = [(1, (90, 90)), (5, (1190, 90)), (9, (90, 710)), (13, (1190, 710))]
+
+    def _scene(self, horizontal: bool):
+        from tests.reference_impl.render import place_tag
+
+        fam = load_family("tag36h11")
+        canvas = np.full((self.H, self.W), 150, np.uint8)
+        # 4-px stripes: 2 px after decimation — wide enough to pass the
+        # speckle gate, dense enough to occupy ~every candidate block.
+        if horizontal:
+            idx = (np.arange(self.H) // 4) % 2
+            canvas[:] = np.where(idx[:, None] == 0, 60, 200).astype(np.uint8)
+        else:
+            idx = (np.arange(self.W) // 4) % 2
+            canvas[:] = np.where(idx[None, :] == 0, 60, 200).astype(np.uint8)
+        for tid, (cx, cy) in self.TAGS:
+            canvas[max(0, cy - 88):cy + 88, max(0, cx - 88):cx + 88] = 150
+            place_tag(
+                canvas, fam, tid,
+                np.array([[cx - 70, cy + 70], [cx + 70, cy + 70],
+                          [cx + 70, cy - 70], [cx - 70, cy - 70]],
+                         np.float32),
+            )
+        return canvas
+
+    @pytest.mark.parametrize("horizontal", [True, False])
+    def test_tags_survive_directional_texture_flood(self, horizontal):
+        det = make_detector()
+        out = det(jnp.asarray(self._scene(horizontal)[None]))
+        valid = np.asarray(out.valid[0])
+        ids = sorted(int(i) for i in np.asarray(out.ids[0])[valid])
+        assert set(t for t, _ in self.TAGS) <= set(ids), (
+            f"tags lost at the capacity cliff: {ids}"
+        )
+        # The cliff is ACTIVE (candidates really were dropped) and VISIBLE.
+        assert int(out.dropped_points[0]) > 10_000
+
+    def test_benign_scene_reports_zero_dropped(self):
+        from tests.reference_impl.render import place_tag
+
+        fam = load_family("tag36h11")
+        canvas = np.full((self.H, self.W), 150, np.uint8)
+        place_tag(canvas, fam, 2, np.array(
+            [[400, 500], [580, 500], [580, 320], [400, 320]], np.float32))
+        det = make_detector()
+        out = det(jnp.asarray(canvas[None]))
+        valid = np.asarray(out.valid[0])
+        assert 2 in np.asarray(out.ids[0])[valid]
+        assert int(out.dropped_points[0]) == 0
