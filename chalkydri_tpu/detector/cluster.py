@@ -223,12 +223,20 @@ def _compact_blocks(black, white, payload, cap, row_dilate: int = 0):
     """
     block = 128
     n = black.shape[0]
-    pad = (-n) % block
+    n_dirs = len(_DIRS)
+    seg = n // n_dirs  # per-direction candidate segment (h*w)
+    pad = (-seg) % block
     if pad:
-        fillv = jnp.full((pad,), _INT_MAX, jnp.int32)
-        black = jnp.concatenate([black, fillv])
-        white = jnp.concatenate([white, fillv])
-        payload = jnp.concatenate([payload, jnp.zeros((pad,), jnp.int32)])
+        # Pad each DIRECTION's segment to a block multiple so the
+        # per-direction selection in select_blocks stays aligned.
+        def pad_seg(x, fill):
+            xs = x.reshape(n_dirs, seg)
+            tail = jnp.full((n_dirs, pad), fill, x.dtype)
+            return jnp.concatenate([xs, tail], axis=1).reshape(-1)
+
+        black = pad_seg(black, _INT_MAX)
+        white = pad_seg(white, _INT_MAX)
+        payload = pad_seg(payload, jnp.int32(0))
     nb = black.shape[0] // block
     counts = (black != _INT_MAX).reshape(nb, block).sum(axis=1)
     blk_idx = select_blocks(counts, cap, row_dilate=row_dilate)
@@ -287,38 +295,12 @@ def cluster_candidates(
     next_start = jnp.minimum(next_start, n)
     run_len = next_start - start_pos
 
-    # --- top-K runs, ranked by DIRECTION DIVERSITY then population ---------
-    # A straight line (directional texture: stripes, fences, wood grain)
-    # produces a large run whose candidates all share one edge direction;
-    # a tag border is a closed quad with both directions represented.
-    # Ranking by raw population let line runs starve the K cluster slots on
-    # textured frames (round-2 capacity cliff, VERDICT item 7), so the
-    # primary key is min(count_dir0, count_dir1) — ~perimeter/4 for a quad,
-    # ~0 for a line — with population as the tiebreak. Benign scenes have
-    # fewer than K real clusters and keep the same set as before.
-    d0 = (((s_payload >> 26) & 0x3) == 0) & s_valid
-    run_end = jnp.concatenate([new_seg[1:], jnp.array([True])])
-
-    def _comb(a, b):
-        va, ba = a
-        vb, bb = b
-        return vb + jnp.where(bb, 0, va), ba | bb
-
-    rev = lambda x: jnp.flip(x, axis=0)
-    r_rev, _ = jax.lax.associative_scan(
-        _comb, (rev(d0.astype(jnp.int32)), rev(run_end))
-    )
-    run_d0 = rev(r_rev)  # at a run START: the run's dir-0 population
-    min_dir = jnp.minimum(run_d0, run_len - run_d0)
-    rank = (
-        jnp.clip(min_dir, 0, (1 << 14) - 1) * (1 << 15)
-        + jnp.clip(run_len, 0, (1 << 15) - 1)
-    )
-
+    # --- top-K runs: chunked pre-selection, then DIRECTION-DIVERSITY rank --
     # A flat top_k over 4M elements costs ~60 ms on v5e; a two-level scheme
-    # (per-chunk top-2, then top_k over the 2*n/C chunk winners) costs ~5 ms.
-    # Top-2 per chunk guards against two large runs starting in one chunk.
-    score = jnp.where(new_seg & s_valid, rank, 0)
+    # (per-chunk top-2 by run length, then ranking the ~2*n/C chunk
+    # winners) costs ~5 ms. Top-2 per chunk guards against two large runs
+    # starting in one chunk.
+    score = jnp.where(new_seg & s_valid, run_len, 0)
     chunk = 256
     pad = (-n) % chunk
     if pad:
@@ -334,13 +316,34 @@ def cluster_candidates(
     m2 = grid2.max(axis=1)
     a2 = grid2.argmax(axis=1).astype(jnp.int32)
     base = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    cand_score = jnp.concatenate([m1, m2])
+    cand_len = jnp.concatenate([m1, m2])
     cand_pos = jnp.concatenate([base + a1, base + a2])
-    top_rank, top_sel = jax.lax.top_k(cand_score, max_clusters)
+
+    # Final ranking of the winners is by DIRECTION DIVERSITY, then length:
+    # a straight line (directional texture: stripes, fences, wood grain)
+    # is a large run whose candidates share one edge direction; a tag
+    # border is a closed quad with both represented. Ranking by raw
+    # population let line runs starve the K cluster slots on textured
+    # frames (round-2 capacity cliff, VERDICT item 7); the primary key
+    # min(count_dir0, count_dir1) is ~perimeter/4 for a quad, ~0 for a
+    # line. Computed for the winners only: ONE plain cumsum over the
+    # dir-0 indicator plus a few hundred element gathers — the exact
+    # per-run segmented sum costs nothing at this stage.
+    d0 = ((((s_payload >> 26) & 0x3) == 0) & s_valid).astype(jnp.int32)
+    t = jnp.cumsum(d0)
+    p0 = jnp.clip(cand_pos, 0, n - 1)
+    p1 = jnp.clip(cand_pos + cand_len - 1, 0, n - 1)
+    d0_run = t[p1] - t[p0] + d0[p0]
+    min_dir = jnp.minimum(d0_run, cand_len - d0_run)
+    rank = jnp.where(
+        cand_len > 0,
+        jnp.clip(min_dir, 0, (1 << 14) - 1) * (1 << 15)
+        + jnp.clip(cand_len, 0, (1 << 15) - 1),
+        0,
+    )
+    top_rank, top_sel = jax.lax.top_k(rank, max_clusters)
     top_start = cand_pos[top_sel]
-    # Population of each selected run (the rank key is diversity-weighted;
-    # the window gather and validity below need the true run length).
-    top_count = jnp.where(top_rank > 0, run_len[jnp.clip(top_start, 0, n - 1)], 0)
+    top_count = jnp.where(top_rank > 0, cand_len[top_sel], 0)
 
     # --- gather fixed-size point windows (small gathers: K x P) ------------
     # Runs larger than the window are stride-subsampled across their whole
@@ -393,12 +396,11 @@ def gradient_clusters(
 
     # --- block-sparse compaction: the dominant cost of this stage was a
     # 512k-row sort; compacting to the occupied blocks first cuts the sort
-    # (and every scan after it) close to max_points rows. Select 2x
-    # max_points worth of blocks — chosen blocks are rarely full (the
-    # block-count histogram of a noisy frame peaks well under 128), so the
-    # slack keeps sparse-but-real border blocks (e.g. a tag's 2-candidate
-    # side-edge rows) in play; the sort below sinks the invalid lanes and
-    # the post-sort slice discards them ------------------------------------
+    # (and every scan after it) toward max_points rows. Round 2 selected
+    # 2x max_points of blocks as slack for sparse-but-real border blocks;
+    # shrinking it was measured NOT safe: 1.5x already drops noisy-scene
+    # corpus detections (golden/aruco parity) and 1x loses adversarial
+    # corner tags, so the 2x slack stays --------------------------------
     if black.shape[0] > max_points:
         black, white, payload, dropped = _compact_blocks(
             black, white, payload, 2 * max_points,

@@ -20,13 +20,12 @@ reference's sketched chunked-row cluster merge,
 - boundary-candidate extraction runs per shard (1-row halo down over ICI),
   emitting exactly the global candidate set with globally-valid labels and
   coordinates,
-- each shard block-compacts its candidates (they are tiny after
-  compaction — kilobytes) and an ICI all-gather hands every chip the full
-  set; because the cluster sort orders by the TOTAL key (black, white,
-  payload), the result is a function of the candidate SET, and the
-  downstream cluster -> quad -> refine -> decode -> solve tail is
-  bit-identical to the single-device program (asserted in
-  tests/test_sharding.py),
+- the shards reconstruct the single-device candidate compaction EXACTLY:
+  per-block candidate counts ride a tiny ICI all-gather, every chip ranks
+  the same blocks (select_blocks, tie-breaks included), and a masked psum
+  assembles bitwise-identical compacted arrays — so the downstream
+  cluster -> quad -> refine -> decode -> solve tail is bit-identical to
+  the single-device program (asserted in tests/test_sharding.py),
 - the tail runs replicated across 'space' (it is light: a few-hundred-KB
   sort + 16-64 quads), so its outputs are whole per data-shard.
 

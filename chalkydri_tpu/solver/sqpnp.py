@@ -114,18 +114,71 @@ def _adjugate3(m: jax.Array) -> jax.Array:
     return cof.reshape(*m.shape[:-2], 3, 3)
 
 
-def nearest_so3(r_vec: jax.Array) -> jax.Array:
-    """Project a 9-vector (column-major 3x3) onto SO(3) via SVD.
+def _jacobi_eigh3(a: jax.Array):
+    """Symmetric 3x3 eigendecomposition by cyclic Jacobi: 4 unrolled
+    sweeps x 3 rotations, branch-free (atan2 handles the zero-off-diagonal
+    case), pure elementwise ops — no LAPACK-style pivot/iteration control,
+    which is latency-bound on TPU (docs/performance.md). Returns
+    (eigenvalues [3] unsorted, eigenvectors as columns [3, 3])."""
+    v = jnp.eye(3, dtype=a.dtype)
+    for _ in range(4):
+        for p, q in ((0, 1), (0, 2), (1, 2)):
+            theta = 0.5 * jnp.arctan2(
+                2.0 * a[p, q], a[p, p] - a[q, q]
+            )
+            c, s = jnp.cos(theta), jnp.sin(theta)
+            # Givens G in the (p, q) plane: a <- G^T a G, v <- v G.
+            g = jnp.eye(3, dtype=a.dtype)
+            g = g.at[p, p].set(c).at[q, q].set(c)
+            g = g.at[p, q].set(-s).at[q, p].set(s)
+            hp = jax.lax.Precision.HIGHEST
+            a = jnp.matmul(jnp.matmul(g.T, a, precision=hp), g, precision=hp)
+            v = jnp.matmul(v, g, precision=hp)
+    return jnp.diagonal(a), v
 
-    Port of ``nearest_so3`` (``sqpnp/src/lib.rs:41-59``): U V^T with the last
-    column of U negated when det < 0.
+
+def nearest_so3(r_vec: jax.Array) -> jax.Array:
+    """Project a 9-vector (column-major 3x3) onto SO(3).
+
+    Semantics of the reference's SVD projection (``sqpnp/src/lib.rs:
+    41-59``: U V^T with the last singular column negated when det < 0),
+    computed WITHOUT a LAPACK-style SVD (0.67 ms per batched call on v5e
+    — pivot searches are scalar work): eigendecompose M^T M by fixed-
+    iteration Jacobi, then R = M V diag(d_i / sigma_i) V^T with the
+    det-fix sign on the smallest singular value. Identical fixed points;
+    near-singular inputs get a clamped inverse and are immediately
+    re-projected by the Newton refinement that follows every call.
     """
     m = r_vec.reshape(3, 3).T  # column-major unpack
-    u, _, vt = jnp.linalg.svd(m, full_matrices=True)
-    rot = u @ vt
-    det = jnp.linalg.det(rot)
-    u_fixed = u.at[:, 2].multiply(jnp.where(det < 0, -1.0, 1.0))
-    rot = u_fixed @ vt
+    hp = jax.lax.Precision.HIGHEST
+    a = jnp.matmul(m.T, m, precision=hp)
+    w, v = _jacobi_eigh3(a)
+    sigma = jnp.sqrt(jnp.maximum(w, 0.0))
+
+    # Sort descending with an EVEN permutation (odd ones get their two
+    # largest columns swapped — both well-conditioned) so that V stays a
+    # rotation and the cross-product completion below lands on det(R)=+1.
+    perm = jnp.argsort(-sigma)
+    eps = ((perm[1] - perm[0]) * (perm[2] - perm[1]) * (perm[2] - perm[0])) // 2
+    perm = jnp.where(eps < 0, perm[jnp.array([1, 0, 2])], perm)
+    sigma_s = sigma[perm]
+    v_s = v[:, perm]
+
+    # U columns for the two LARGEST singular values (never divides by a
+    # tiny sigma), re-orthonormalized to absorb Jacobi residual; the third
+    # column is their cross product. This is simultaneously the det<0 fix:
+    # det(U)=+1 by construction, so R = U V^T is the nearest ROTATION in
+    # both sign cases (the reference's flip of U's last column is exactly
+    # the cross-product completion when det(M) < 0).
+    denom = jnp.maximum(sigma_s, 1e-20)
+    u1 = jnp.matmul(m, v_s[:, 0], precision=hp) / denom[0]
+    u2 = jnp.matmul(m, v_s[:, 1], precision=hp) / denom[1]
+    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1), 1e-20)
+    u2 = u2 - jnp.dot(u1, u2) * u1
+    u2 = u2 / jnp.maximum(jnp.linalg.norm(u2), 1e-20)
+    u3 = jnp.cross(u1, u2)
+    u_s = jnp.stack([u1, u2, u3], axis=1)
+    rot = jnp.matmul(u_s, v_s.T, precision=hp)
     return rot.T.reshape(9)  # column-major pack
 
 
