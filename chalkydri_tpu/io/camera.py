@@ -121,10 +121,20 @@ class _CvCapture:
 
     def __init__(self, node: str, width: int, height: int, fps: Optional[float],
                  auto_exposure: bool = True,
-                 manual_exposure: Optional[int] = None):
+                 manual_exposure: Optional[int] = None,
+                 fourcc: Optional[str] = None):
         import cv2
 
         self._cap = cv2.VideoCapture(node, cv2.CAP_V4L2)
+        # Compressed USB cams: requesting MJPG (with cv2's built-in jpeg
+        # decode) is how high resolutions reach full frame rate over USB2
+        # — the role GStreamer's jpegdec plays in the reference's pipeline
+        # (crates/chalkydri/src/cameras/pipeline.rs:92-101). fourcc config
+        # values: "MJPG", "YUYV", ... (4 chars).
+        if fourcc and len(fourcc) == 4:
+            self._cap.set(
+                cv2.CAP_PROP_FOURCC, cv2.VideoWriter_fourcc(*fourcc)
+            )
         if width:
             self._cap.set(cv2.CAP_PROP_FRAME_WIDTH, width)
         if height:
@@ -292,6 +302,9 @@ class CamPipeline:
         self.orientation = config.get("orientation", "none")
         self.auto_exposure = bool(config.get("auto_exposure", True))
         self.manual_exposure = config.get("manual_exposure")
+        # Capture wire format (e.g. "MJPG" for compressed USB cams, the
+        # reference's jpegdec role; None = driver default).
+        self.capture_fourcc = config.get("capture_format")
         self._synthetic_ok = synthetic_ok
         # Synthetic-scene knobs (tests/dev only; ignored with real devices).
         self._synth_family = str(config.get("synthetic_family", "tag36h11"))
@@ -312,6 +325,7 @@ class CamPipeline:
                     node, self.width, self.height, self.fps,
                     auto_exposure=self.auto_exposure,
                     manual_exposure=self.manual_exposure,
+                    fourcc=self.capture_fourcc,
                 )
                 self._was_present = True
                 return

@@ -164,18 +164,32 @@ def nearest_so3(r_vec: jax.Array) -> jax.Array:
     sigma_s = sigma[perm]
     v_s = v[:, perm]
 
-    # U columns for the two LARGEST singular values (never divides by a
-    # tiny sigma), re-orthonormalized to absorb Jacobi residual; the third
-    # column is their cross product. This is simultaneously the det<0 fix:
-    # det(U)=+1 by construction, so R = U V^T is the nearest ROTATION in
-    # both sign cases (the reference's flip of U's last column is exactly
-    # the cross-product completion when det(M) < 0).
-    denom = jnp.maximum(sigma_s, 1e-20)
-    u1 = jnp.matmul(m, v_s[:, 0], precision=hp) / denom[0]
-    u2 = jnp.matmul(m, v_s[:, 1], precision=hp) / denom[1]
-    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1), 1e-20)
-    u2 = u2 - jnp.dot(u1, u2) * u1
-    u2 = u2 / jnp.maximum(jnp.linalg.norm(u2), 1e-20)
+    # U columns built from the two LARGEST singular directions,
+    # orthonormalized; the third column is their cross product. This is
+    # simultaneously the det<0 fix: det(U)=+1 by construction, so
+    # R = U V^T is the nearest ROTATION in both sign cases (the
+    # reference's flip of U's last column is exactly the cross-product
+    # completion when det(M) < 0). Rank-deficient inputs are ROUTINE here
+    # — the omega eigenvector guesses reshape to exactly rank-1 matrices
+    # — so each column has a branch-free orthonormal FALLBACK instead of
+    # a divide-by-clamped-sigma (which collapsed to zero columns on exact
+    # rank deficiency): when M contributes no usable direction, take the
+    # dominant column of the projector onto the remaining subspace, like
+    # LAPACK's arbitrary null-space completion.
+    a1 = jnp.matmul(m, v_s[:, 0], precision=hp)
+    a2 = jnp.matmul(m, v_s[:, 1], precision=hp)
+    n1 = jnp.linalg.norm(a1)
+    scale = jnp.maximum(n1, 1e-20)
+    e1 = jnp.zeros(3, m.dtype).at[0].set(1.0)
+    u1 = jnp.where(n1 > 1e-12, a1 / scale, e1)
+
+    w2 = a2 - jnp.dot(u1, a2) * u1
+    n2 = jnp.linalg.norm(w2)
+    proj1 = jnp.eye(3, dtype=m.dtype) - jnp.outer(u1, u1)
+    cn = jnp.linalg.norm(proj1, axis=0)
+    fb2 = proj1[:, jnp.argmax(cn)] / jnp.maximum(jnp.max(cn), 1e-20)
+    u2 = jnp.where(n2 > 1e-5 * scale, w2 / jnp.maximum(n2, 1e-20), fb2)
+
     u3 = jnp.cross(u1, u2)
     u_s = jnp.stack([u1, u2, u3], axis=1)
     rot = jnp.matmul(u_s, v_s.T, precision=hp)

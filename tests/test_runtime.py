@@ -428,13 +428,14 @@ class TestAaecLoop:
                   detector_kwargs=dict(max_edge_points=8192, max_clusters=16,
                                        cluster_points=256))
         try:
-            assert app._aaec is not None, "Aaec node not wired"
+            assert app._aaec, "Aaec node not wired"
+            assert app.fused_chains[0].aaec is not None
             app.start_all_tasks()
             cap = app.fused_chains[0].camera._cap
             assert isinstance(cap, SyntheticCapture)
             start = 400  # badly over-exposed: most pixels saturate
             cap.set_exposure(start)
-            app._aaec[0].exposure = start
+            app.fused_chains[0].aaec.exposure = start
             for _ in range(40):
                 app.run_one_iteration()
                 time.sleep(0.002)  # let the synthetic camera emit frames
