@@ -34,6 +34,27 @@ def spd_solve(a: jax.Array, b: jax.Array) -> jax.Array:
     return m[..., :, -1]
 
 
+def spd_solve_many(a: jax.Array, b: jax.Array) -> jax.Array:
+    """No-pivot elimination with a MATRIX right-hand side.
+
+    a: [..., n, n], b: [..., n, k]. One augmented elimination solves all k
+    systems — vmapping ``spd_solve`` over columns re-eliminates the same
+    matrix k times (measured on the SQPnP omega inverse: 9x the work).
+    """
+    n = a.shape[-1]
+    m = jnp.concatenate([a, b], axis=-1)  # [..., n, n+k]
+    for kk in range(n):
+        piv = m[..., kk, kk:kk + 1]
+        piv = jnp.where(jnp.abs(piv) < 1e-30, 1e-30, piv)
+        row = m[..., kk, :] / piv
+        m = m.at[..., kk, :].set(row)
+        col = m[..., :, kk:kk + 1]
+        elim = m - col * row[..., None, :]
+        keep = jax.lax.broadcasted_iota(jnp.int32, m.shape[-2:], 0) == kk
+        m = jnp.where(keep, m, elim)
+    return m[..., :, n:]
+
+
 def lstsq_spd(a: jax.Array, b: jax.Array) -> jax.Array:
     """Least-squares via SPD normal equations: solve (a^T a) x = a^T b.
 

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 # spd_solve lives in ops/linalg (shared with the homography/decode fits);
 # re-exported here because the Schur KKT below is its original use.
-from chalkydri_tpu.ops.linalg import spd_solve  # noqa: F401
+from chalkydri_tpu.ops.linalg import spd_solve, spd_solve_many  # noqa: F401
 from chalkydri_tpu.utils.precision import highest_precision
 
 MAX_ITER = 15
@@ -144,10 +144,10 @@ def nearest_so3(r_vec: jax.Array) -> jax.Array:
     41-59``: U V^T with the last singular column negated when det < 0),
     computed WITHOUT a LAPACK-style SVD (0.67 ms per batched call on v5e
     — pivot searches are scalar work): eigendecompose M^T M by fixed-
-    iteration Jacobi, then R = M V diag(d_i / sigma_i) V^T with the
-    det-fix sign on the smallest singular value. Identical fixed points;
-    near-singular inputs get a clamped inverse and are immediately
-    re-projected by the Newton refinement that follows every call.
+    iteration Jacobi, then rebuild the orthogonal factor from the two
+    dominant singular directions with a cross-product completion (see the
+    inline notes — this is also the det<0 fix, and it is exact on the
+    rank-1 inputs the candidate guesses routinely are).
     """
     m = r_vec.reshape(3, 3).T  # column-major unpack
     hp = jax.lax.Precision.HIGHEST
@@ -237,10 +237,9 @@ def regularized_omega_inv(omega: jax.Array, eps_rel: float = 1e-4):
     dtype = omega.dtype
     eps = eps_rel * jnp.maximum(jnp.trace(omega) / 9.0, 1e-12)
     omega_eps = omega + eps * jnp.eye(9, dtype=dtype)
-    eye = jnp.eye(9, dtype=dtype)
-    return jax.vmap(
-        lambda col: spd_solve(omega_eps, col), in_axes=1, out_axes=1
-    )(eye)
+    # One augmented elimination for all 9 columns (spd_solve_many) —
+    # vmapping spd_solve re-eliminated the same matrix 9 times.
+    return spd_solve_many(omega_eps, jnp.eye(9, dtype=dtype))
 
 
 def newton_refine(r0: jax.Array, omega: jax.Array, max_iter: int = MAX_ITER,
