@@ -222,9 +222,11 @@ class SyntheticCapture:
         from chalkydri_tpu.detector.families import load_family
 
         self._family = load_family(family)
-        self._cycle: list = []  # scene luminance per phase (float32)
-        self._u8_cache: dict = {}  # phase -> exposed uint8 frame (current
-        #                            exposure; cleared by set_exposure)
+        self._cycle: list = []  # rendered scene per phase (uint8 — float32
+        #                         here cost 4x the RSS and dominated soak
+        #                         memory-drift readings)
+        self._exposed: dict = {}  # phase -> exposed uint8 frame (current
+        #                           exposure; cleared by set_exposure)
 
     def set_exposure(self, value: int) -> None:
         """Synthetic exposure model: emitted pixel = clip(lum * e/100) with
@@ -237,7 +239,7 @@ class SyntheticCapture:
         value = max(1, int(value))
         if value != self.exposure:
             self.exposure = value
-            self._u8_cache.clear()  # re-expose cached frames lazily
+            self._exposed.clear()  # re-expose cached frames lazily
 
     def latest(self):
         now = time.monotonic_ns() // 1000
@@ -246,22 +248,25 @@ class SyntheticCapture:
         self._last_emit = now
         self._n += 1
         if len(self._cycle) < self.N_PHASES:
-            rendered = _render_synthetic(
+            self._cycle.append(_render_synthetic(
                 self._family, self.width, self.height, self._tag_ids,
                 len(self._cycle),
-            )
-            # cache scene LUMINANCE (see set_exposure)
-            self._cycle.append(20.0 + 0.85 * rendered.astype(np.float32))
+            ))
         phase = self._n % len(self._cycle)
-        frame = self._u8_cache.get(phase)
+        frame = self._exposed.get(phase)
         if frame is None:
-            # exposure applied once per (phase, exposure) — per-poll float
-            # math over megapixel frames would throttle the whole app loop
-            frame = np.clip(
-                self._cycle[phase] * (self.exposure / self.OPTIMAL_EXPOSURE),
+            # Exposed pixel = clip(lum * e/E0) with scene luminance
+            # lum = 20 + 0.85*rendered (see set_exposure) — an elementwise
+            # function of the uint8 scene value, so ONE 256-entry LUT
+            # replaces per-pixel float math (bit-identical result, no
+            # megapixel float temps; applied once per (phase, exposure)).
+            lut = np.clip(
+                (20.0 + 0.85 * np.arange(256, dtype=np.float32))
+                * (self.exposure / self.OPTIMAL_EXPOSURE),
                 0, 255,
             ).astype(np.uint8)
-            self._u8_cache[phase] = frame
+            frame = lut[self._cycle[phase]]
+            self._exposed[phase] = frame
         return frame, now
 
     def close(self):

@@ -27,6 +27,20 @@ def _rss_mb() -> float:
     return 0.0
 
 
+def _malloc_trim() -> None:
+    """Return free glibc arena pages to the OS (best-effort) so the RSS
+    drift metric measures REACHABLE memory, not allocator slack: long
+    multi-thread runs grow per-thread arenas whose free chunks glibc keeps,
+    which reads as a multi-GB 'leak' that isn't one (verified by bisection:
+    the loop's Python/JAX object graph is flat after warmup)."""
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass
+
+
 def _default_graph(n_cams: int, width: int, height: int):
     from chalkydri_tpu.runtime.graph import TaskGraph
 
@@ -139,6 +153,7 @@ def main(argv=None) -> int:
                 t_end = time.monotonic() + args.seconds
                 rss0 = _rss_mb()  # baseline right after the compile iter
             if len(iter_times) == 10:
+                _malloc_trim()  # symmetric with the end-of-run measurement
                 rss0 = _rss_mb()  # refine after warmup when we get there
             while True:
                 try:
@@ -148,8 +163,25 @@ def main(argv=None) -> int:
                 rx_packets += 1
                 _, _, ts_us, _, n = decode_measurement(data)
                 rx_with_tags += int(n > 0)
-                if n > 0 and len(iter_times) > 5:  # warm, real solves only
+                # Every packet (pose or heartbeat) carries its frame's
+                # tov->publish delta; synthetic soak scenes deliberately
+                # don't match the field layout, so their packets are
+                # heartbeats — still the true capture->wire latency when
+                # the frame was fresh. Stale-camera heartbeats re-stamp an
+                # old tov (latency >> 1 s); exclude those, keep warm ones.
+                if len(iter_times) > 5 and ts_us < 1_000_000:
                     rx_latency_us.append(ts_us)
+            if os.environ.get("CHALKYDRI_SOAK_DEBUG") and \
+                    len(iter_times) % 100 == 0:
+                import jax
+
+                la = jax.live_arrays()
+                print(
+                    f"debug iter {len(iter_times)}: rss {_rss_mb():.0f} MB, "
+                    f"live_arrays n={len(la)} "
+                    f"mb={sum(a.nbytes for a in la) / 1e6:.1f}",
+                    file=sys.stderr, flush=True,
+                )
             if period:
                 dt = time.monotonic() - t0
                 if dt < period:
@@ -165,6 +197,8 @@ def main(argv=None) -> int:
     # drop compile iterations when the run is long enough to have any left
     warm = iter_times[5:] if len(iter_times) > 5 else iter_times
     it = np.array(warm if warm else [float("nan")])
+    rss_raw = _rss_mb()
+    _malloc_trim()
     rss1 = _rss_mb()
     lat = np.array(rx_latency_us, np.float64) / 1000.0  # -> ms
     report = {
@@ -188,7 +222,8 @@ def main(argv=None) -> int:
         # compaction budget and the degradation mode is active.
         "dropped_candidates": app.dropped_points_total,
         "rss_mb_start": round(rss0 or 0.0, 1),
-        "rss_mb_end": round(rss1, 1),
+        "rss_mb_end": round(rss1, 1),  # post-malloc_trim: reachable memory
+        "rss_mb_end_untrimmed": round(rss_raw, 1),  # incl. allocator slack
         "rss_drift_mb": round(rss1 - (rss0 or rss1), 1),
         "spans": {
             k: {kk: round(vv, 2) for kk, vv in v.items()}

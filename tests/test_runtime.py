@@ -489,6 +489,35 @@ class TestDetectionOverlay:
             comm.close()
 
 
+class TestCaptureConfig:
+    def test_capture_format_plumbs_to_backend(self):
+        """The capture_format config key (compressed USB cams — the
+        reference's jpegdec role, pipeline.rs:92-101) reaches the capture
+        layer; synthetic fallback ignores it gracefully."""
+        from chalkydri_tpu.io.camera import CamPipeline
+        from chalkydri_tpu.runtime.clock import RobotClock
+
+        cam = CamPipeline(
+            config={"id": "missing-fmt", "name": "c", "width": 320,
+                    "height": 240, "capture_format": "MJPG"},
+            synthetic_ok=True,
+        )
+        assert cam.capture_fourcc == "MJPG"
+        clock = RobotClock()
+        cam.start(clock)
+        try:
+            # Device absent -> synthetic backend; format request is a
+            # no-op there but must not break capture.
+            deadline = time.time() + 3
+            frame = None
+            while time.time() < deadline and frame is None:
+                frame = cam.process(clock).payload
+                time.sleep(0.01)
+            assert frame is not None and frame.shape == (240, 320)
+        finally:
+            cam.stop(clock)
+
+
 class TestCameraFailureMidRun:
     def test_dying_capture_degrades_not_crashes(self, tiny_layout):
         """A capture backend that starts raising mid-run (device yanked)
