@@ -265,25 +265,37 @@ def cluster_candidates(
     single-device path (``gradient_clusters``) and the spatially-sharded
     path (parallel/pipeline.py), whose globally-consistent ICI compaction
     hands it a bitwise-identical candidate array."""
-    # --- sort by (black, white): ONE lexicographic 2-key sort (measured on
-    # v5e: a num_keys=2 sort costs the same as a single-key pass, so this
-    # halves what two stable passes would) --------------------------------
-    s_black, s_white, s_payload = jax.lax.sort(
-        (black, white, payload), dimension=0, is_stable=False, num_keys=2
+    # --- group by (black, white) via ONE single-key sort over a 30-bit
+    # multiply-xor hash of the pair. Grouping only needs a consistent
+    # total order, not a lexicographic one, and the sort cost on v5e is
+    # dominated by operand data movement: (hash, payload) with num_keys=1
+    # measured 1.71 ms vs 2.16 ms for (black, white, payload) with
+    # num_keys=2 at 131k rows — the label values themselves are never
+    # used after grouping. Colliding (black, white) pairs would merge two
+    # clusters; with ~50 real pairs per frame and a 2^30 space that is
+    # ~1e-6 per frame (libapriltag's u64 hashmap accepts the same class
+    # of risk, apriltag.c gradient_clusters via zhash) -------------------
+    invalid = black == _INT_MAX
+    key = (
+        black * jnp.int32(-1640531527)  # 0x9E3779B1 (wrapping)
+    ) ^ (white * jnp.int32(-2048144789))  # 0x85EBCA6B
+    key = key & 0x3FFFFFFF  # 30-bit: valid keys sort before the sentinel
+    key = jnp.where(invalid, _INT_MAX, key)
+    s_key, s_payload = jax.lax.sort(
+        (key, payload), dimension=0, is_stable=False, num_keys=1
     )
-    # Invalid candidates carry INT32_MAX keys and sorted to the tail; the
-    # head slice keeps every valid candidate whenever <= max_points exist.
-    if s_black.shape[0] > max_points:
-        s_black = s_black[:max_points]
-        s_white = s_white[:max_points]
+    # Invalid candidates carry the INT32_MAX sentinel and sort to the tail;
+    # the head slice keeps every valid candidate whenever <= max_points
+    # exist.
+    if s_key.shape[0] > max_points:
+        s_key = s_key[:max_points]
         s_payload = s_payload[:max_points]
-    n = s_black.shape[0]
-    s_valid = s_black != _INT_MAX
+    n = s_key.shape[0]
+    s_valid = s_key != _INT_MAX
 
     # --- run-length segmentation with scans (no scatters, no capacity) -----
-    prev_black = jnp.concatenate([jnp.array([-1], jnp.int32), s_black[:-1]])
-    prev_white = jnp.concatenate([jnp.array([-1], jnp.int32), s_white[:-1]])
-    new_seg = (s_black != prev_black) | (s_white != prev_white)
+    prev_key = jnp.concatenate([jnp.array([-1], jnp.int32), s_key[:-1]])
+    new_seg = s_key != prev_key
 
     idx = jnp.arange(n, dtype=jnp.int32)
     # run start position for every element: forward cummax of starts

@@ -242,6 +242,53 @@ def regularized_omega_inv(omega: jax.Array, eps_rel: float = 1e-4):
     return spd_solve_many(omega_eps, jnp.eye(9, dtype=dtype))
 
 
+def smallest3_eigvecs(omega: jax.Array, omega_inv: jax.Array,
+                      iters: int = 3) -> jax.Array:
+    """The 3 smallest eigenvectors of a symmetric PSD 9x9 (columns,
+    ascending) by INVERSE SUBSPACE ITERATION + 3x3 Rayleigh-Ritz.
+
+    ``jnp.linalg.eigh`` on 9x9 batches costs ~0.67 ms on v5e (its QR
+    iteration is sequential scalar-ish work); the rotation candidates only
+    need the near-null subspace, and ``omega_inv = (omega + eps I)^-1`` is
+    ALREADY computed for the Newton steps. Iterating X <- orthonormalize(
+    omega_inv X) converges to that subspace at rate ((lambda_3 + eps) /
+    (lambda_4 + eps))^k — tag omegas have a ~3-dim near-null space with
+    lambda_4 well separated, so a few iterations are ample — and the 3x3
+    Rayleigh-Ritz (fixed-sweep Jacobi) separates the individual
+    eigenvectors within it. Per-column norm clamps keep the zero-omega
+    (empty tag mask) case finite; the result is then arbitrary
+    orthonormal, matching eigh's arbitrary basis, and the solve is
+    discarded by the mask anyway.
+    """
+    dtype = omega.dtype
+    hp = jax.lax.Precision.HIGHEST
+    x = jnp.eye(9, 3, dtype=dtype)
+
+    def orthonormalize(x):
+        # Modified Gram-Schmidt on 3 columns, branch-free fallbacks.
+        cols = []
+        for j in range(3):
+            c = x[:, j]
+            for q in cols:
+                c = c - jnp.dot(q, c) * q
+            n = jnp.linalg.norm(c)
+            fallback = jnp.zeros(9, dtype).at[j].set(1.0)
+            cols.append(jnp.where(n > 1e-20, c / jnp.maximum(n, 1e-20),
+                                  fallback))
+        return jnp.stack(cols, axis=1)
+
+    for _ in range(iters):
+        # Two applications per orthonormalization square the convergence
+        # ratio for ~one extra matmul; unit-norm columns between rounds
+        # keep the (1/eps)^k growth of near-null directions finite in f32.
+        x = jnp.matmul(omega_inv, x, precision=hp)
+        x = orthonormalize(jnp.matmul(omega_inv, x, precision=hp))
+    s = jnp.matmul(x.T, jnp.matmul(omega, x, precision=hp), precision=hp)
+    w, u = _jacobi_eigh3(s)
+    order = jnp.argsort(w)
+    return jnp.matmul(x, u[:, order], precision=hp)
+
+
 def newton_refine(r0: jax.Array, omega: jax.Array, max_iter: int = MAX_ITER,
                   tol_sq: float = TOL_SQ, omega_inv: jax.Array | None = None):
     """Refine a rotation 9-vector with <= max_iter SQP Newton steps.
@@ -269,12 +316,8 @@ def newton_refine(r0: jax.Array, omega: jax.Array, max_iter: int = MAX_ITER,
     if omega_inv is None:
         omega_inv = regularized_omega_inv(omega)
 
-    def cond(carry):
-        _, done, i = carry
-        return (i < max_iter) & ~done
-
     def body(carry):
-        r, done, i = carry
+        r, done = carry
         h, jac = constraints_and_jacobian(r)
         rhs1 = -(omega @ r)
         b = jac @ omega_inv  # [6, 9]
@@ -286,10 +329,32 @@ def newton_refine(r0: jax.Array, omega: jax.Array, max_iter: int = MAX_ITER,
         r_new = jnp.where(step_ok, r + delta, r)
         converged = jnp.dot(delta, delta) < tol_sq
         done_new = done | ~finite | (step_ok & converged)
-        return r_new, done_new, i + 1
+        return r_new, done_new
+
+    # CHUNKED UNROLL: while_loop over chunks of 3 straight-line masked
+    # steps. The loop body is ~60 tiny ops and the solve stage is
+    # dispatch-latency-bound on v5e, so unrolling lets XLA fuse across
+    # iterations — but a FULL unroll always pays max_iter steps while
+    # clean solves converge in ~4-6; checking the done flag every 3 steps
+    # keeps the early exit at chunk granularity. Bit-identical to the
+    # per-step while_loop by construction: a vmapped while_loop also runs
+    # until EVERY lane converges, with exactly these masked no-op
+    # updates, and extra steps after convergence are the same no-ops.
+    chunk = 3
+    n_chunks = (max_iter + chunk - 1) // chunk
+
+    def chunk_body(carry):
+        r, done, i = carry
+        rd = (r, done)
+        for _ in range(chunk):
+            rd = body(rd)
+        r, done = rd
+        return r, done, i + 1
 
     r, _, _ = jax.lax.while_loop(
-        cond, body, (r0, jnp.asarray(False), jnp.int32(0))
+        lambda c: (c[2] < n_chunks) & ~c[1],
+        chunk_body,
+        (r0, jnp.asarray(False), jnp.int32(0)),
     )
     energy = jnp.dot(r, omega @ r)
     return r, energy
@@ -306,11 +371,10 @@ def solve_candidates(omega: jax.Array, fwd_in_cam: jax.Array, gyro_cos, gyro_sin
 
     Returns (r_vecs [6, 9], penalized_energy [6], pure_energy [6]).
     """
-    eigvals, eigvecs = jnp.linalg.eigh(omega)  # ascending
-    base = eigvecs[:, 0:3].T  # [3, 9]
+    omega_inv = regularized_omega_inv(omega)  # shared by all 6 candidates
+    base = smallest3_eigvecs(omega, omega_inv).T  # [3, 9] ascending
     signs = jnp.array([-1.0, 1.0], dtype=omega.dtype)
     guesses = (base[:, None, :] * signs[None, :, None]).reshape(6, 9)
-    omega_inv = regularized_omega_inv(omega)  # shared by all 6 candidates
 
     def refine_one(guess):
         r_start = nearest_so3(guess)
