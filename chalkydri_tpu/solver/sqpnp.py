@@ -114,27 +114,36 @@ def _adjugate3(m: jax.Array) -> jax.Array:
     return cof.reshape(*m.shape[:-2], 3, 3)
 
 
-def _jacobi_eigh3(a: jax.Array):
-    """Symmetric 3x3 eigendecomposition by cyclic Jacobi: 4 unrolled
-    sweeps x 3 rotations, branch-free (atan2 handles the zero-off-diagonal
-    case), pure elementwise ops — no LAPACK-style pivot/iteration control,
-    which is latency-bound on TPU (docs/performance.md). Returns
-    (eigenvalues [3] unsorted, eigenvectors as columns [3, 3])."""
-    v = jnp.eye(3, dtype=a.dtype)
-    for _ in range(4):
-        for p, q in ((0, 1), (0, 2), (1, 2)):
-            theta = 0.5 * jnp.arctan2(
-                2.0 * a[p, q], a[p, p] - a[q, q]
-            )
-            c, s = jnp.cos(theta), jnp.sin(theta)
-            # Givens G in the (p, q) plane: a <- G^T a G, v <- v G.
-            g = jnp.eye(3, dtype=a.dtype)
-            g = g.at[p, p].set(c).at[q, q].set(c)
-            g = g.at[p, q].set(-s).at[q, p].set(s)
-            hp = jax.lax.Precision.HIGHEST
-            a = jnp.matmul(jnp.matmul(g.T, a, precision=hp), g, precision=hp)
-            v = jnp.matmul(v, g, precision=hp)
+def _jacobi_eigh_small(a: jax.Array, sweeps: int = 4):
+    """Symmetric n x n (n small, static) eigendecomposition by cyclic
+    Jacobi: ``sweeps`` unrolled sweeps x n(n-1)/2 rotations, branch-free
+    (atan2 handles the zero-off-diagonal case), pure elementwise ops — no
+    LAPACK-style pivot/iteration control, which is latency-bound on TPU
+    (docs/performance.md). Returns (eigenvalues [n] unsorted, eigenvectors
+    as columns [n, n])."""
+    n = a.shape[0]
+    v = jnp.eye(n, dtype=a.dtype)
+    hp = jax.lax.Precision.HIGHEST
+    for _ in range(sweeps):
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                theta = 0.5 * jnp.arctan2(
+                    2.0 * a[p, q], a[p, p] - a[q, q]
+                )
+                c, s = jnp.cos(theta), jnp.sin(theta)
+                # Givens G in the (p, q) plane: a <- G^T a G, v <- v G.
+                g = jnp.eye(n, dtype=a.dtype)
+                g = g.at[p, p].set(c).at[q, q].set(c)
+                g = g.at[p, q].set(-s).at[q, p].set(s)
+                a = jnp.matmul(jnp.matmul(g.T, a, precision=hp), g,
+                               precision=hp)
+                v = jnp.matmul(v, g, precision=hp)
     return jnp.diagonal(a), v
+
+
+def _jacobi_eigh3(a: jax.Array):
+    """3x3 cyclic Jacobi (see ``_jacobi_eigh_small``)."""
+    return _jacobi_eigh_small(a, sweeps=4)
 
 
 def nearest_so3(r_vec: jax.Array) -> jax.Array:
@@ -243,31 +252,35 @@ def regularized_omega_inv(omega: jax.Array, eps_rel: float = 1e-4):
 
 
 def smallest3_eigvecs(omega: jax.Array, omega_inv: jax.Array,
-                      iters: int = 3) -> jax.Array:
+                      iters: int = 3, block: int = 5) -> jax.Array:
     """The 3 smallest eigenvectors of a symmetric PSD 9x9 (columns,
-    ascending) by INVERSE SUBSPACE ITERATION + 3x3 Rayleigh-Ritz.
+    ascending) by INVERSE SUBSPACE ITERATION on a 9 x ``block`` basis +
+    ``block`` x ``block`` Rayleigh-Ritz.
 
     ``jnp.linalg.eigh`` on 9x9 batches costs ~0.67 ms on v5e (its QR
     iteration is sequential scalar-ish work); the rotation candidates only
     need the near-null subspace, and ``omega_inv = (omega + eps I)^-1`` is
     ALREADY computed for the Newton steps. Iterating X <- orthonormalize(
-    omega_inv X) converges to that subspace at rate ((lambda_3 + eps) /
-    (lambda_4 + eps))^k — tag omegas have a ~3-dim near-null space with
-    lambda_4 well separated, so a few iterations are ample — and the 3x3
-    Rayleigh-Ritz (fixed-sweep Jacobi) separates the individual
-    eigenvectors within it. Per-column norm clamps keep the zero-omega
-    (empty tag mask) case finite; the result is then arbitrary
-    orthonormal, matching eigh's arbitrary basis, and the solve is
-    discarded by the mask anyway.
+    omega_inv X) with a block WIDER than 3 makes the 3rd Ritz vector
+    converge at rate ((lambda_3 + eps) / (lambda_block+1 + eps))^k rather
+    than ((lambda_3 + eps) / (lambda_4 + eps))^k — real noisy tag omegas
+    DO produce near-degenerate lambda_3 ~ lambda_4 pairs (a 3-column
+    block stalls at ratio ~0.92 on such scenes), while lambda_6 sits a
+    decade higher, so the guard columns restore fast convergence. The
+    Rayleigh-Ritz (fixed-sweep Jacobi on the projected block) then
+    separates the individual eigenvectors, resolving close pairs exactly
+    as eigh does. Per-column norm clamps keep the zero-omega (empty tag
+    mask) case finite; the result is then arbitrary orthonormal, matching
+    eigh's arbitrary basis, and the solve is discarded by the mask anyway.
     """
     dtype = omega.dtype
     hp = jax.lax.Precision.HIGHEST
-    x = jnp.eye(9, 3, dtype=dtype)
+    x = jnp.eye(9, block, dtype=dtype)
 
     def orthonormalize(x):
-        # Modified Gram-Schmidt on 3 columns, branch-free fallbacks.
+        # Modified Gram-Schmidt, branch-free fallbacks.
         cols = []
-        for j in range(3):
+        for j in range(block):
             c = x[:, j]
             for q in cols:
                 c = c - jnp.dot(q, c) * q
@@ -284,8 +297,8 @@ def smallest3_eigvecs(omega: jax.Array, omega_inv: jax.Array,
         x = jnp.matmul(omega_inv, x, precision=hp)
         x = orthonormalize(jnp.matmul(omega_inv, x, precision=hp))
     s = jnp.matmul(x.T, jnp.matmul(omega, x, precision=hp), precision=hp)
-    w, u = _jacobi_eigh3(s)
-    order = jnp.argsort(w)
+    w, u = _jacobi_eigh_small(s)
+    order = jnp.argsort(w)[:3]
     return jnp.matmul(x, u[:, order], precision=hp)
 
 

@@ -112,6 +112,51 @@ class TestPrimitives:
             expected = ref.compute_std_devs(energy, dist, n)
             np.testing.assert_allclose(ours, expected, rtol=1e-12)
 
+    @pytest.mark.parametrize("noise", [0.0, 2e-3])
+    def test_smallest3_eigvecs_on_tag_omegas(self, rng, noise):
+        """The inverse-subspace-iteration eigenvector replacement for
+        jnp.linalg.eigh must recover the near-null subspace of REAL tag
+        omegas (the rotation candidates live there; sqpnp.py
+        smallest3_eigvecs). Random dense-spectrum matrices are out of
+        scope by design — tag omegas have lambda_1..3 << lambda_4."""
+        from chalkydri_tpu.solver.sqpnp import (
+            build_linear_system,
+            regularized_omega_inv,
+            smallest3_eigvecs,
+        )
+
+        for trial in range(5):
+            isos, rays, _ = make_scene(rng, n_tags=1 + trial % 3, noise=noise)
+            corners = np.array(
+                [[0.0, -TAG_SIZE / 2, -TAG_SIZE / 2],
+                 [0.0, TAG_SIZE / 2, -TAG_SIZE / 2],
+                 [0.0, TAG_SIZE / 2, TAG_SIZE / 2],
+                 [0.0, -TAG_SIZE / 2, TAG_SIZE / 2]]
+            )  # same ordering make_scene used to generate the rays
+            pts = []
+            for rot, pos in isos:
+                for c in corners:
+                    pts.append(rot @ c + pos)
+            pts = np.asarray(pts, np.float32)
+            pts -= pts.mean(axis=0)
+            rays = np.asarray(rays, np.float32)
+            mask = np.ones(len(pts), bool)
+            omega, _, _ = build_linear_system(
+                jnp.asarray(pts), jnp.asarray(rays), jnp.asarray(mask)
+            )
+            omega_inv = regularized_omega_inv(omega)
+            v = np.asarray(smallest3_eigvecs(omega, omega_inv))
+            w_ref, v_ref = np.linalg.eigh(np.asarray(omega, np.float64))
+            # Tag omegas have a >= 3-dim near-null space (a single PLANAR
+            # tag's is larger — the planar-PnP ambiguity); the candidates
+            # may land anywhere inside it, exactly like eigh's arbitrary
+            # basis choice would.
+            null_dim = max(3, int(np.sum(w_ref < 1e-5 * w_ref[-1])))
+            p = v_ref[:, :null_dim] @ v_ref[:, :null_dim].T
+            assert np.linalg.norm(v - p @ v) < 2e-2
+            # and be orthonormal.
+            np.testing.assert_allclose(v.T @ v, np.eye(3), atol=1e-4)
+
 
 class TestSolveParity:
     def test_single_tag_is_true_minimum(self):
