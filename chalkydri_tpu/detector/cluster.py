@@ -39,6 +39,8 @@ import jax
 import jax.numpy as jnp
 
 MAX_EDGE_POINTS = 1 << 16  # per frame, after sorting/compaction
+# (halving to 2^15 was measured 0.73 ms faster on v5e but drops the
+# noisy-corpus tag at 640x480 — capacity is a robustness parameter)
 MAX_CLUSTERS = 64  # candidate quads per frame
 MAX_CLUSTER_POINTS = 256  # boundary points kept per cluster (stride-subsampled)
 MIN_CLUSTER_POINTS = 24  # smaller clusters can't be a tag border

@@ -55,6 +55,17 @@ def spd_solve_many(a: jax.Array, b: jax.Array) -> jax.Array:
     return m[..., :, n:]
 
 
+# NOTE: a 3x3-block Schur inverse (closed-form adjugate inv3 composed
+# through recursive Schur complements) was prototyped here for its ~3x
+# shorter sequential chain than the n-step elimination. On REAL SQPnP tag
+# omegas (kappa ~ 3e4, 4-dim near-null cluster + trace-relative shift) it
+# was numerically unusable in f32: max rel error 0.91 vs the elimination's
+# 1.7e-4 on the same matrix — composing explicit block inverses multiplies
+# their errors where elimination accumulates them additively. Keep solves
+# in elimination form; don't resurrect the blocked inverse for
+# ill-conditioned SPD inputs.
+
+
 def lstsq_spd(a: jax.Array, b: jax.Array) -> jax.Array:
     """Least-squares via SPD normal equations: solve (a^T a) x = a^T b.
 

@@ -247,12 +247,18 @@ def regularized_omega_inv(omega: jax.Array, eps_rel: float = 1e-4):
     eps = eps_rel * jnp.maximum(jnp.trace(omega) / 9.0, 1e-12)
     omega_eps = omega + eps * jnp.eye(9, dtype=dtype)
     # One augmented elimination for all 9 columns (spd_solve_many) —
-    # vmapping spd_solve re-eliminated the same matrix 9 times.
+    # vmapping spd_solve re-eliminated the same matrix 9 times. A
+    # 3x3-block Schur inverse (explicit inv(A11) composed through the
+    # Schur complement) was tried for its ~3x shorter dependency chain
+    # and measured CATASTROPHICALLY wrong on real tag omegas in f32
+    # (rel err 0.91 vs 1.7e-4 here, kappa ~ 3e4 with a 4-dim near-null
+    # cluster): composing explicit block inverses multiplies their
+    # errors where row elimination accumulates them additively.
     return spd_solve_many(omega_eps, jnp.eye(9, dtype=dtype))
 
 
 def smallest3_eigvecs(omega: jax.Array, omega_inv: jax.Array,
-                      iters: int = 3, block: int = 5) -> jax.Array:
+                      apps: int = 4, block: int = 5) -> jax.Array:
     """The 3 smallest eigenvectors of a symmetric PSD 9x9 (columns,
     ascending) by INVERSE SUBSPACE ITERATION on a 9 x ``block`` basis +
     ``block`` x ``block`` Rayleigh-Ritz.
@@ -290,11 +296,14 @@ def smallest3_eigvecs(omega: jax.Array, omega_inv: jax.Array,
                                   fallback))
         return jnp.stack(cols, axis=1)
 
-    for _ in range(iters):
-        # Two applications per orthonormalization square the convergence
-        # ratio for ~one extra matmul; unit-norm columns between rounds
-        # keep the (1/eps)^k growth of near-null directions finite in f32.
-        x = jnp.matmul(omega_inv, x, precision=hp)
+    for _ in range(apps):
+        # Orthonormalize after EVERY application: omega_inv's dominance
+        # ratio reaches (lambda_5/eps) ~ 20-1000 on real tag omegas, so
+        # stacked un-normalized applications drive the block columns
+        # toward parallel and into f32's MGS cancellation floor. 4
+        # applications are CONVERGED on a 240-random-scene stress (the
+        # worst Rayleigh-quotient ratio is identical at 4 and 6 — the
+        # residual is an f32 accuracy floor, not a convergence tail).
         x = orthonormalize(jnp.matmul(omega_inv, x, precision=hp))
     s = jnp.matmul(x.T, jnp.matmul(omega, x, precision=hp), precision=hp)
     w, u = _jacobi_eigh_small(s)

@@ -79,6 +79,46 @@ def to_padded(isometries, rays, dtype=jnp.float64):
 
 
 class TestPrimitives:
+    def test_regularized_omega_inv_accuracy(self):
+        """regularized_omega_inv must stay accurate on the REAL tag-omega
+        conditioning class: kappa ~ 3e4 with a 4-dim near-null cluster
+        (single planar tag). This is the regression guard for the
+        elimination-based inverse — a 3x3-block Schur inverse with
+        closed-form adjugates was measured at rel error 0.91 on exactly
+        this class (vs the elimination's ~2e-4) and must never come back
+        (ops/linalg.py NOTE). Uses a private rng: the shared session
+        fixture's draw ORDER feeds later tests' scenes."""
+        from chalkydri_tpu.solver.sqpnp import (
+            build_linear_system,
+            regularized_omega_inv,
+        )
+
+        rng = np.random.default_rng(7)
+        corners = np.array(
+            [[0.0, -TAG_SIZE / 2, -TAG_SIZE / 2],
+             [0.0, TAG_SIZE / 2, -TAG_SIZE / 2],
+             [0.0, TAG_SIZE / 2, TAG_SIZE / 2],
+             [0.0, -TAG_SIZE / 2, TAG_SIZE / 2]])
+        for trial in range(6):
+            isos, rays, _ = make_scene(rng, n_tags=1 + trial % 3,
+                                       noise=(0.0, 2e-3)[trial % 2])
+            pts = []
+            for rot, pos in isos:
+                for c in corners:
+                    pts.append(rot @ c + pos)
+            pts = np.asarray(pts, np.float32)
+            pts -= pts.mean(axis=0)
+            mask = np.ones(len(pts), bool)
+            omega, _, _ = build_linear_system(
+                jnp.asarray(pts), jnp.asarray(np.asarray(rays, np.float32)),
+                jnp.asarray(mask))
+            got = np.asarray(regularized_omega_inv(omega))
+            eps = 1e-4 * float(jnp.trace(omega)) / 9.0
+            ref = np.linalg.inv(
+                np.asarray(omega, np.float64) + eps * np.eye(9))
+            rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+            assert rel < 5e-3, (trial, rel)
+
     def test_nearest_so3_matches_ref(self, rng):
         for _ in range(10):
             v = rng.normal(size=9)
@@ -146,15 +186,24 @@ class TestPrimitives:
             )
             omega_inv = regularized_omega_inv(omega)
             v = np.asarray(smallest3_eigvecs(omega, omega_inv))
-            w_ref, v_ref = np.linalg.eigh(np.asarray(omega, np.float64))
-            # Tag omegas have a >= 3-dim near-null space (a single PLANAR
-            # tag's is larger — the planar-PnP ambiguity); the candidates
-            # may land anywhere inside it, exactly like eigh's arbitrary
-            # basis choice would.
-            null_dim = max(3, int(np.sum(w_ref < 1e-5 * w_ref[-1])))
-            p = v_ref[:, :null_dim] @ v_ref[:, :null_dim].T
-            assert np.linalg.norm(v - p @ v) < 2e-2
-            # and be orthonormal.
+            w_ref = np.linalg.eigvalsh(np.asarray(omega, np.float64))
+            # The contract is RAYLEIGH-QUOTIENT quality, not subspace
+            # identity: a single planar tag's omega has a 4-dim EXACT
+            # null space in f64 that f32 rounding splits apart at the
+            # ~1e-7*||omega|| level, and the shared eps-regularized
+            # inverse (eps = 1e-4 * trace/9) cannot resolve eigenvalues
+            # below the shift — nor does the solve need it to: any
+            # orthonormal directions whose energies r^T omega r are
+            # within the shift of the true smallest three are equally
+            # good Newton starting guesses (the 6 candidates are seeds,
+            # not answers). eigh's arbitrary basis inside a degenerate
+            # cluster makes the same trade.
+            eps = 1e-4 * float(jnp.trace(omega)) / 9.0
+            ritz = np.sort(np.linalg.eigvalsh(
+                v.T @ np.asarray(omega, np.float64) @ v))
+            bound = w_ref[:3] + 10 * eps + 1e-5 * w_ref[-1]
+            assert np.all(ritz <= bound), (trial, ritz, w_ref[:4], eps)
+            # and the basis must be orthonormal.
             np.testing.assert_allclose(v.T @ v, np.eye(3), atol=1e-4)
 
 
