@@ -27,7 +27,12 @@ OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "detector", "_data")
 
 FAMILIES = {
     # name: (cv2 dictionary attr, data-grid dim, min hamming distance)
+    # The four classic libapriltag families Family::parse accepts that
+    # OpenCV bundles; the reference's C detector supports all of them
+    # (crates/apriltags/src/lib.rs:229 parses the family from config).
     "tag36h11": ("DICT_APRILTAG_36h11", 6, 11),
+    "tag36h10": ("DICT_APRILTAG_36h10", 6, 10),
+    "tag25h9": ("DICT_APRILTAG_25h9", 5, 9),
     "tag16h5": ("DICT_APRILTAG_16h5", 4, 5),
 }
 
@@ -78,15 +83,23 @@ def check_min_hamming(codes: np.ndarray, dim: int, expect: int) -> int:
     stacked = np.stack(all_rots)  # [4, N]
 
     n = len(codes)
+    # Vectorized pairwise popcount: XOR every code against every rotation
+    # of every code, popcount via unpackbits on the byte view, chunked
+    # over the second axis to bound memory (36h10's 2320 codes make both
+    # the per-pair Python loop and the full [4, N, N, 64] bit tensor
+    # intractable).
     min_d = nbits
-    for i in range(n):
-        # vs all rotations of all other codes
-        x = stacked ^ codes[i]
-        ham = np.array(
-            [[bin(int(v)).count("1") for v in row] for row in x]
-        )
-        ham[:, i] = nbits  # exclude self (rot 0); self-rotations still count
-        ham[0, i] = nbits
+    chunk = 128
+    for lo in range(0, n, chunk):
+        blk = stacked[:, lo:lo + chunk]  # [4, C]
+        x = blk[:, :, None] ^ codes[None, None, :]  # [4, C, N]
+        ham = np.unpackbits(
+            x.view(np.uint8).reshape(4, blk.shape[1], n, 8), axis=-1
+        ).sum(axis=-1).astype(np.int32)
+        diag = np.arange(blk.shape[1])
+        ham[0, diag, lo + diag] = nbits  # exclude self at rotation 0 only:
+        # self vs own nontrivial rotations still counts (libapriltag's
+        # distinct-rotation requirement).
         min_d = min(min_d, int(ham.min()))
     return min_d
 

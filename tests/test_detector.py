@@ -200,6 +200,22 @@ class TestDetectEndToEnd:
         dets = dict(valid_list(out))
         assert 4 in dets
 
+    @pytest.mark.parametrize(
+        "name,tid,bits",
+        [("tag25h9", 7, 1), ("tag36h10", 1234, 2)],
+    )
+    def test_other_families(self, name, tid, bits):
+        """The remaining classic libapriltag families the reference's
+        Family::parse accepts (crates/apriltags/src/lib.rs:229): 25h9
+        exercises the odd 5x5 data grid, 36h10 the 2320-code codebook."""
+        fam = load_family(name)
+        canvas, gts = simple_scene(
+            fam, [(tid, axis_aligned_corners(320, 240, 80))])
+        out = detect_once(canvas, family=name, bits_corrected=bits)
+        dets = dict(valid_list(out))
+        assert tid in dets
+        assert np.abs(dets[tid] - gts[tid]).max() < 0.1
+
     def test_batch_equals_singles(self):
         """Batch of N frames == N independent detects (SURVEY.md section 4
         batch equivalence)."""
@@ -436,7 +452,8 @@ class TestFamilyTables:
     canonical family definitions (VERDICT round-1 item 10: drift gate for
     tools/gen_families.py --check)."""
 
-    @pytest.mark.parametrize("name", ["tag36h11", "tag16h5"])
+    @pytest.mark.parametrize(
+        "name", ["tag36h11", "tag36h10", "tag25h9", "tag16h5"])
     def test_npz_matches_regenerated(self, name):
         cv2 = pytest.importorskip("cv2")
         import os
