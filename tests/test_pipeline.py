@@ -7,6 +7,7 @@ with exact ground truth.
 
 import json
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -123,6 +124,59 @@ class TestFusedPipeline:
         assert 50 in ids
         assert int(out.tag_count[0]) == 2
         assert abs(float(out.pose_x[0]) - robot_pos[0]) < 0.02
+
+    def test_planar_mirror_ambiguity_all_orderings(self, layout, rig):
+        """A fronto-parallel tag WALL is the planar two-fold ambiguity's
+        worst case: the mirror pose (robot ~2 m in the air behind the
+        wall plane) TIES the true pose's reprojection energy at the
+        corner-noise floor (measured: the mirror was 0.4% LOWER in f64).
+        Round-3 regression: with 3-eigvec candidate seeding, some input
+        orderings sent every Newton refinement into the mirror basin
+        (f32 sum-order noise decides) and the pose flipped or went
+        invalid. The 4-eigvec seed set (solve_candidates n_eigvecs=4)
+        plus the ground-plane tiebreak must recover the true pose for
+        EVERY detection ordering."""
+        from chalkydri_tpu.geometry.tags import TAG_SIZE, corners_world
+        from chalkydri_tpu.solver.robot_pose import solve_robot_pose
+
+        r2c = robot_to_cam_from_offsets(0, 0, 1.0, 0, 0, 0, dtype=jnp.float32)
+        robot_pos = np.array([9.6, 4.2, 0.0])
+        frame = render_field_view(layout, [3, 4], robot_pos, 0.0, r2c)
+        params, rc = build_rig_from_config(rig, layout)
+
+        from chalkydri_tpu.detector.pipeline import make_detector
+        from chalkydri_tpu.geometry.camera import OpenCVModel5
+
+        det = make_detector()
+        out = det(jnp.asarray(frame)[None])
+        ids = np.asarray(out.ids[0])
+        present = np.asarray(layout.present)
+        known = np.array(
+            [0 <= i < len(present) and present[i] for i in ids]
+        ) & np.asarray(out.valid[0])
+        model = OpenCVModel5(params[0])
+        rays, conv = model.unproject(out.corners[0])
+        known &= np.asarray(jnp.all(conv, axis=-1))
+        idx = np.clip(ids, 0, len(present) - 1)
+        t_rot = np.asarray(layout.rotations)[idx]
+        t_t = np.asarray(layout.translations)[idx]
+
+        solve = jax.jit(solve_robot_pose)
+        rng = np.random.default_rng(3)
+        for trial in range(6):
+            perm = rng.permutation(len(ids))
+            res = solve(
+                jnp.asarray(t_rot[perm], jnp.float32),
+                jnp.asarray(t_t[perm], jnp.float32),
+                jnp.asarray(known[perm]),
+                jnp.asarray(np.asarray(rays)[perm], jnp.float32),
+                SE3(rc.rotation[0], rc.translation[0]),
+                jnp.float32(0.0),
+            )
+            pos = np.asarray(res.position)
+            assert bool(res.valid), trial
+            assert abs(pos[0] - robot_pos[0]) < 0.02, (trial, pos)
+            assert abs(pos[2]) < 0.05, (trial, pos)
 
     def test_no_tags_invalid(self, layout, rig):
         frame = np.full((480, 640), 150, np.uint8)

@@ -153,16 +153,16 @@ class TestPrimitives:
             np.testing.assert_allclose(ours, expected, rtol=1e-12)
 
     @pytest.mark.parametrize("noise", [0.0, 2e-3])
-    def test_smallest3_eigvecs_on_tag_omegas(self, rng, noise):
+    def test_smallest_eigvecs_on_tag_omegas(self, rng, noise):
         """The inverse-subspace-iteration eigenvector replacement for
         jnp.linalg.eigh must recover the near-null subspace of REAL tag
         omegas (the rotation candidates live there; sqpnp.py
-        smallest3_eigvecs). Random dense-spectrum matrices are out of
+        smallest_eigvecs). Random dense-spectrum matrices are out of
         scope by design — tag omegas have lambda_1..3 << lambda_4."""
         from chalkydri_tpu.solver.sqpnp import (
             build_linear_system,
             regularized_omega_inv,
-            smallest3_eigvecs,
+            smallest_eigvecs,
         )
 
         for trial in range(5):
@@ -185,7 +185,7 @@ class TestPrimitives:
                 jnp.asarray(pts), jnp.asarray(rays), jnp.asarray(mask)
             )
             omega_inv = regularized_omega_inv(omega)
-            v = np.asarray(smallest3_eigvecs(omega, omega_inv))
+            v = np.asarray(smallest_eigvecs(omega, omega_inv))
             w_ref = np.linalg.eigvalsh(np.asarray(omega, np.float64))
             # The contract is RAYLEIGH-QUOTIENT quality, not subspace
             # identity: a single planar tag's omega has a 4-dim EXACT
