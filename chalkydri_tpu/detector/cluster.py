@@ -252,6 +252,20 @@ def _compact_blocks(black, white, payload, cap, row_dilate: int = 0):
     return (*kept, dropped.astype(jnp.int32))
 
 
+def _segment_backend() -> str:
+    """Where to run the post-sort run-length segmentation: the fused
+    Pallas VMEM kernel on TPU (one pass instead of three XLA scans), the
+    jnp path elsewhere. CHALKYDRI_NO_PALLAS=1 forces jnp (same switch as
+    the CCL kernel)."""
+    import os
+
+    if os.environ.get("CHALKYDRI_NO_PALLAS") == "1":
+        return "jnp"
+    if jax.devices()[0].platform in ("cpu", "gpu"):
+        return "jnp"
+    return "pallas"
+
+
 def cluster_candidates(
     black: jax.Array,
     white: jax.Array,
@@ -261,6 +275,7 @@ def cluster_candidates(
     cluster_points: int = MAX_CLUSTER_POINTS,
     min_points: int = MIN_CLUSTER_POINTS,
     dropped=None,
+    segment_backend: str | None = None,
 ) -> Clusters:
     """Group (possibly compacted) boundary candidates into clusters: the
     sort -> run-length segment -> top-K -> window-gather tail, shared by the
@@ -295,43 +310,63 @@ def cluster_candidates(
     n = s_key.shape[0]
     s_valid = s_key != _INT_MAX
 
-    # --- run-length segmentation with scans (no scatters, no capacity) -----
-    prev_key = jnp.concatenate([jnp.array([-1], jnp.int32), s_key[:-1]])
-    new_seg = s_key != prev_key
+    # --- run-length segmentation + chunked top-2 pre-selection -------------
+    # t = inclusive cumsum of the direction-0 indicator; cand_len/cand_pos
+    # are the per-128-chunk top-2 runs by length (run starts scored with
+    # their run length; 2 winners per chunk guard against two large runs
+    # starting in one chunk, and a flat top_k over the full array would
+    # cost ~60 ms on v5e at 4M rows). On TPU everything comes out of ONE
+    # fused Pallas VMEM pass (ops/pallas/segment_kernel.py, bit-identical
+    # by test); elsewhere three XLA scans + reshape reductions compute the
+    # same arrays.
+    if segment_backend is None:
+        segment_backend = _segment_backend()
+    chunk = 128  # the kernel's lane-row width; the jnp path mirrors it
+    if segment_backend != "jnp" and n % chunk == 0:
+        from chalkydri_tpu.ops.pallas.segment_kernel import (
+            segment_stats_pallas,
+        )
 
-    idx = jnp.arange(n, dtype=jnp.int32)
-    # run start position for every element: forward cummax of starts
-    start_pos = jax.lax.cummax(jnp.where(new_seg, idx, -1))
-    # next run start AFTER every element: reverse cummin of starts
-    nxt = jnp.where(new_seg, idx, _INT_MAX)
-    next_start = jax.lax.cummin(nxt, reverse=True)
-    next_start = jnp.concatenate([next_start[1:], jnp.array([n], jnp.int32)])
-    next_start = jnp.minimum(next_start, n)
-    run_len = next_start - start_pos
-
-    # --- top-K runs: chunked pre-selection, then DIRECTION-DIVERSITY rank --
-    # A flat top_k over 4M elements costs ~60 ms on v5e; a two-level scheme
-    # (per-chunk top-2 by run length, then ranking the ~2*n/C chunk
-    # winners) costs ~5 ms. Top-2 per chunk guards against two large runs
-    # starting in one chunk.
-    score = jnp.where(new_seg & s_valid, run_len, 0)
-    chunk = 256
-    pad = (-n) % chunk
-    if pad:
-        score_p = jnp.concatenate([score, jnp.zeros((pad,), score.dtype)])
+        t, cand_len, cand_pos = segment_stats_pallas(
+            s_key, s_payload,
+            interpret=(segment_backend == "pallas_interpret"),
+        )
     else:
-        score_p = score
-    n_chunks = score_p.shape[0] // chunk
-    grid = score_p.reshape(n_chunks, chunk)
-    m1 = grid.max(axis=1)
-    a1 = grid.argmax(axis=1).astype(jnp.int32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, chunk), 1)
-    grid2 = jnp.where(col == a1[:, None], 0, grid)
-    m2 = grid2.max(axis=1)
-    a2 = grid2.argmax(axis=1).astype(jnp.int32)
-    base = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    cand_len = jnp.concatenate([m1, m2])
-    cand_pos = jnp.concatenate([base + a1, base + a2])
+        prev_key = jnp.concatenate([jnp.array([-1], jnp.int32), s_key[:-1]])
+        new_seg = s_key != prev_key
+
+        idx = jnp.arange(n, dtype=jnp.int32)
+        # run start position for every element: forward cummax of starts
+        start_pos = jax.lax.cummax(jnp.where(new_seg, idx, -1))
+        # next run start AFTER every element: reverse cummin of starts
+        nxt = jnp.where(new_seg, idx, _INT_MAX)
+        next_start = jax.lax.cummin(nxt, reverse=True)
+        next_start = jnp.concatenate(
+            [next_start[1:], jnp.array([n], jnp.int32)])
+        next_start = jnp.minimum(next_start, n)
+        run_len = next_start - start_pos
+        score = jnp.where(new_seg & s_valid, run_len, 0)
+        d0_all = ((((s_payload >> 26) & 0x3) == 0) & s_valid).astype(
+            jnp.int32)
+        t = jnp.cumsum(d0_all)
+
+        pad = (-n) % chunk
+        if pad:
+            score_p = jnp.concatenate(
+                [score, jnp.zeros((pad,), score.dtype)])
+        else:
+            score_p = score
+        n_chunks = score_p.shape[0] // chunk
+        grid = score_p.reshape(n_chunks, chunk)
+        m1 = grid.max(axis=1)
+        a1 = grid.argmax(axis=1).astype(jnp.int32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, chunk), 1)
+        grid2 = jnp.where(col == a1[:, None], 0, grid)
+        m2 = grid2.max(axis=1)
+        a2 = grid2.argmax(axis=1).astype(jnp.int32)
+        base = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+        cand_len = jnp.concatenate([m1, m2])
+        cand_pos = jnp.concatenate([base + a1, base + a2])
 
     # Final ranking of the winners is by DIRECTION DIVERSITY, then length:
     # a straight line (directional texture: stripes, fences, wood grain)
@@ -343,11 +378,14 @@ def cluster_candidates(
     # line. Computed for the winners only: ONE plain cumsum over the
     # dir-0 indicator plus a few hundred element gathers — the exact
     # per-run segmented sum costs nothing at this stage.
-    d0 = ((((s_payload >> 26) & 0x3) == 0) & s_valid).astype(jnp.int32)
-    t = jnp.cumsum(d0)
     p0 = jnp.clip(cand_pos, 0, n - 1)
     p1 = jnp.clip(cand_pos + cand_len - 1, 0, n - 1)
-    d0_run = t[p1] - t[p0] + d0[p0]
+    # d0 at the run start, recomputed from the GATHERED payload/key (the
+    # dense d0 array lives only inside the segmentation backend).
+    d0_p0 = (
+        (((s_payload[p0] >> 26) & 0x3) == 0) & (s_key[p0] != _INT_MAX)
+    ).astype(jnp.int32)
+    d0_run = t[p1] - t[p0] + d0_p0
     min_dir = jnp.minimum(d0_run, cand_len - d0_run)
     rank = jnp.where(
         cand_len > 0,

@@ -103,6 +103,43 @@ class TestSegment:
 
 
 class TestClusterQuad:
+    def test_segment_kernel_backend_bit_identical(self):
+        """The fused Pallas segment-stats kernel (TPU backend of
+        cluster_candidates' run-length segmentation) must produce
+        bit-identical Clusters to the jnp scan path — on real rendered
+        scenes and under vmap (the production pipeline vmaps
+        gradient_clusters over the camera batch)."""
+        from functools import partial
+
+        import jax
+
+        from chalkydri_tpu.detector.cluster import (
+            cluster_candidates,
+            extract_boundary_points,
+        )
+
+        scenes = [
+            simple_scene(FAM, [(7, axis_aligned_corners(450, 240, 80))])[0],
+            simple_scene(FAM, [(1, axis_aligned_corners(200, 160, 60)),
+                               (9, axis_aligned_corners(440, 320, 70))],
+                         noise=6.0)[0],
+        ]
+        batch = jnp.stack([jnp.asarray(s) for s in scenes])
+        tern = adaptive_threshold(batch)
+        labels = label_components(tern)
+
+        def run(backend, t, l):
+            black, white, payload = extract_boundary_points(t, l)
+            return cluster_candidates(
+                black, white, payload, segment_backend=backend)
+
+        ref = jax.vmap(partial(run, "jnp"))(tern, labels)
+        got = jax.vmap(partial(run, "pallas_interpret"))(tern, labels)
+        for name in ("points", "mask", "count", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ref, name)),
+                np.asarray(getattr(got, name)), err_msg=name)
+
     def test_border_cluster_and_quad(self):
         canvas, gts = simple_scene(FAM, [(7, axis_aligned_corners(450, 240, 80))])
         tern = adaptive_threshold(jnp.asarray(canvas)[None])[0]
