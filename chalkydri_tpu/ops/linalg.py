@@ -22,15 +22,19 @@ def spd_solve(a: jax.Array, b: jax.Array) -> jax.Array:
     """
     n = a.shape[-1]
     m = jnp.concatenate([a, b[..., None]], axis=-1)  # [..., n, n+1]
+    row_is_k = [
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == k for k in range(n)
+    ]
     for k in range(n):
         piv = m[..., k, k:k + 1]
         piv = jnp.where(jnp.abs(piv) < 1e-30, 1e-30, piv)
-        row = m[..., k, :] / piv
-        m = m.at[..., k, :].set(row)
+        row = (m[..., k, :] / piv)[..., None, :]
         col = m[..., :, k:k + 1]
-        elim = m - col * row[..., None, :]
-        keep = jax.lax.broadcasted_iota(jnp.int32, m.shape[-2:], 0) == k
-        m = jnp.where(keep, m, elim)
+        # One select per step: row k becomes the normalized pivot row,
+        # every other row eliminates against it. (An .at[k].set lowers to
+        # dynamic-update-slice, which breaks XLA's fusion of the unrolled
+        # pivot chain.)
+        m = jnp.where(row_is_k[k], row, m - col * row)
     return m[..., :, -1]
 
 
@@ -46,12 +50,11 @@ def spd_solve_many(a: jax.Array, b: jax.Array) -> jax.Array:
     for kk in range(n):
         piv = m[..., kk, kk:kk + 1]
         piv = jnp.where(jnp.abs(piv) < 1e-30, 1e-30, piv)
-        row = m[..., kk, :] / piv
-        m = m.at[..., kk, :].set(row)
+        row = (m[..., kk, :] / piv)[..., None, :]
         col = m[..., :, kk:kk + 1]
-        elim = m - col * row[..., None, :]
-        keep = jax.lax.broadcasted_iota(jnp.int32, m.shape[-2:], 0) == kk
-        m = jnp.where(keep, m, elim)
+        row_is_kk = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == kk
+        # Single fused select per pivot step; see spd_solve.
+        m = jnp.where(row_is_kk, row, m - col * row)
     return m[..., :, n:]
 
 
