@@ -252,6 +252,27 @@ def _compact_blocks(black, white, payload, cap, row_dilate: int = 0):
     return (*kept, dropped.astype(jnp.int32))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _segment_kernel_compiles() -> bool:
+    """One tiny Mosaic compile probe (cached per process, and warm in the
+    persistent XLA compile cache across restarts): if this TPU backend
+    rejects the segment kernel, the detector self-heals onto the jnp
+    scan path instead of failing every pipeline build."""
+    try:
+        from chalkydri_tpu.ops.pallas.segment_kernel import (
+            segment_stats_pallas,
+        )
+
+        z = jnp.zeros(128, jnp.int32)
+        jax.jit(segment_stats_pallas).lower(z, z).compile()
+        return True
+    except Exception:  # Mosaic/compile errors are backend-specific
+        return False
+
+
 def _segment_backend() -> str:
     """Where to run the post-sort run-length segmentation: the fused
     Pallas VMEM kernel on TPU (one pass instead of three XLA scans), the
@@ -263,7 +284,7 @@ def _segment_backend() -> str:
         return "jnp"
     if jax.devices()[0].platform in ("cpu", "gpu"):
         return "jnp"
-    return "pallas"
+    return "pallas" if _segment_kernel_compiles() else "jnp"
 
 
 def cluster_candidates(
