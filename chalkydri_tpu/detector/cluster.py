@@ -266,7 +266,7 @@ def _segment_kernel_compiles() -> bool:
             segment_stats_pallas,
         )
 
-        z = jnp.zeros(128, jnp.int32)
+        z = jnp.zeros(1024, jnp.int32)  # rows=8: one full (8, 128) tile
         jax.jit(segment_stats_pallas).lower(z, z).compile()
         return True
     except Exception:  # Mosaic/compile errors are backend-specific
@@ -343,7 +343,9 @@ def cluster_candidates(
     if segment_backend is None:
         segment_backend = _segment_backend()
     chunk = 128  # the kernel's lane-row width; the jnp path mirrors it
-    if segment_backend != "jnp" and n % chunk == 0:
+    # n >= 1024 keeps the kernel's [n/128, 128] block at or above the
+    # (8, 128) minimum int32 tile; smaller inputs take the jnp path.
+    if segment_backend != "jnp" and n % chunk == 0 and n >= 1024:
         from chalkydri_tpu.ops.pallas.segment_kernel import (
             segment_stats_pallas,
         )
