@@ -517,6 +517,79 @@ class TestFamilyTables:
         assert check_min_hamming(np.asarray(fam.codes), 4, 5) >= 5
 
 
+class TestSegmentKernel:
+    """Unit-level parity for ops/pallas/segment_kernel.py (interpret mode)
+    against the jnp scan formulas, on adversarial run layouts the
+    end-to-end bit-identity test can't guarantee to produce: runs
+    crossing lane-row boundaries, an all-invalid array, a single run
+    spanning everything, and empty/full chunks."""
+
+    @staticmethod
+    def _reference(ks, payload):
+        _INT_MAX = np.iinfo(np.int32).max
+        n = len(ks)
+        prev_key = np.concatenate([[-1], ks[:-1]])
+        new_seg = ks != prev_key
+        idx = np.arange(n)
+        start_pos = np.maximum.accumulate(np.where(new_seg, idx, -1))
+        nxt = np.where(new_seg, idx, _INT_MAX)
+        next_start = np.minimum.accumulate(nxt[::-1])[::-1]
+        next_start = np.concatenate([next_start[1:], [n]])
+        next_start = np.minimum(next_start, n)
+        run_len = next_start - start_pos
+        s_valid = ks != _INT_MAX
+        score = np.where(new_seg & s_valid, run_len, 0)
+        d0 = (((payload >> 26) & 0x3) == 0) & s_valid
+        t = np.cumsum(d0.astype(np.int32))
+        # chunk-128 top-2 (ties to the first index, like the kernel)
+        grid = score.reshape(-1, 128)
+        m1 = grid.max(axis=1)
+        a1 = grid.argmax(axis=1)
+        grid2 = grid.copy()
+        grid2[np.arange(len(grid)), a1] = 0
+        m2 = grid2.max(axis=1)
+        a2 = grid2.argmax(axis=1)
+        base = np.arange(len(grid)) * 128
+        cand_len = np.concatenate([m1, m2]).astype(np.int32)
+        cand_pos = np.concatenate([base + a1, base + a2]).astype(np.int32)
+        return t, cand_len, cand_pos
+
+    def test_adversarial_layouts(self):
+        from chalkydri_tpu.ops.pallas.segment_kernel import (
+            segment_stats_pallas,
+        )
+
+        _INT_MAX = np.iinfo(np.int32).max
+        N = 2048
+        rng = np.random.default_rng(5)
+        cases = []
+        # one run spanning the whole array
+        cases.append(np.full(N, 7, np.int32))
+        # all invalid
+        cases.append(np.full(N, _INT_MAX, np.int32))
+        # alternating single-element runs (every element a run start)
+        cases.append((np.arange(N) % 2 + 10).astype(np.int32) * 0
+                     + np.arange(N, dtype=np.int32))
+        # random runs crossing row boundaries + invalid tail
+        ks = []
+        while sum(len(k) for k in ks) < N - 300:
+            ks.append(np.full(int(rng.integers(1, 400)),
+                              int(rng.integers(0, 1 << 30))))
+        flat = np.concatenate(ks)[: N - 100].astype(np.int32)
+        flat = np.sort(flat)
+        cases.append(np.concatenate(
+            [flat, np.full(N - len(flat), _INT_MAX, np.int32)]))
+
+        for i, ks in enumerate(cases):
+            payload = rng.integers(0, 1 << 29, N).astype(np.int32)
+            t, cl, cp = segment_stats_pallas(
+                jnp.asarray(ks), jnp.asarray(payload), interpret=True)
+            t_ref, cl_ref, cp_ref = self._reference(ks, payload)
+            np.testing.assert_array_equal(np.asarray(t), t_ref, err_msg=f"t case {i}")
+            np.testing.assert_array_equal(np.asarray(cl), cl_ref, err_msg=f"len case {i}")
+            np.testing.assert_array_equal(np.asarray(cp), cp_ref, err_msg=f"pos case {i}")
+
+
 class TestBlockedCCL:
     """Row-blocked Pallas CCL (ops/pallas/ccl_kernel.py blocked path): the
     single-device instance of the SURVEY.md section 5.7 seam-merge
