@@ -221,6 +221,28 @@ class TestDetectEndToEnd:
         out = detect_once(canvas)
         assert int(out.count()[0]) == 0
 
+    @pytest.mark.parametrize("sigma,lo,hi,max_err", [
+        (1.0, 0, 255, 0.35),    # motion/defocus blur, full contrast
+        (2.0, 90, 170, 0.55),   # blur + washed-out lighting
+        (3.0, 110, 150, 0.65),  # heavy blur + 40-count contrast
+    ])
+    def test_blur_and_low_contrast(self, sigma, lo, hi, max_err):
+        """Detection must survive defocus/motion blur and washed-out
+        lighting (gym lighting + cheap optics — the reference's deploy
+        reality). Measured envelope: detects through sigma=3 Gaussian
+        blur at a 40-count contrast range with graceful corner
+        degradation (0.2 px at sigma=1 -> 0.5 px at sigma=3)."""
+        cv2 = pytest.importorskip("cv2")
+
+        canvas, gts = simple_scene(
+            FAM, [(5, axis_aligned_corners(320, 240, 90))])
+        f = canvas.astype(np.float32) / 255.0 * (hi - lo) + lo
+        f = cv2.GaussianBlur(f, (0, 0), sigma).astype(np.uint8)
+        out = detect_once(f)
+        dets = dict(valid_list(out))
+        assert 5 in dets, f"tag lost at sigma={sigma} contrast=({lo},{hi})"
+        assert np.abs(dets[5] - gts[5]).max() < max_err
+
     def test_noise_robustness(self):
         canvas, gts = simple_scene(
             FAM, [(5, axis_aligned_corners(320, 240, 90))], noise=8.0
