@@ -16,13 +16,17 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from chalkydri_tpu.ops.linalg import lstsq_spd
 
 # Tag-frame corners in the order the quad fitter emits them (BL, BR, TR, TL
-# in image terms for an upright tag).
-TAG_CORNERS = jnp.array(
-    [[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]], dtype=jnp.float32
+# in image terms for an upright tag). Host constant (np, not jnp): creating
+# a device array at import time would commit a JAX backend the moment
+# chalkydri_tpu is imported — and hang the import outright when the TPU
+# tunnel is down.
+TAG_CORNERS = np.array(
+    [[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]], dtype=np.float32
 )
 
 

@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from chalkydri_tpu.utils.precision import highest_precision
 
@@ -186,7 +187,10 @@ def smoothstep(x: jax.Array) -> jax.Array:
 # z up) offsets and converts into the OpenCV camera frame (x right, y down,
 # z fwd) via a fixed change of basis
 # (``crates/chalkydri_sqpnp/src/lib.rs:448-460``).
-_NWU_TO_CV = jnp.array(
+# Host constant (np, not jnp): a module-level device array would commit a
+# JAX backend at import time (and hang the import when the TPU tunnel is
+# down). Converted at the use site.
+_NWU_TO_CV = np.array(
     [
         [0.0, 0.0, 1.0],
         [-1.0, 0.0, 0.0],
@@ -218,5 +222,5 @@ def robot_to_cam_from_offsets(
         axis=-1,
     )
     robot_pose_of_cam_nwu = SE3(nwu_rot, nwu_t)
-    nwu_to_cv = SE3(_NWU_TO_CV.astype(dtype), jnp.zeros(3, dtype=dtype))
+    nwu_to_cv = SE3(jnp.asarray(_NWU_TO_CV, dtype=dtype), jnp.zeros(3, dtype=dtype))
     return robot_pose_of_cam_nwu.compose(nwu_to_cv).inverse()

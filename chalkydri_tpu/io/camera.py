@@ -199,6 +199,126 @@ class _CvCapture:
         self._cap.release()
 
 
+def build_gst_pipeline(
+    source: str,
+    node: str,
+    width: int,
+    height: int,
+    fps: Optional[float],
+    fourcc: Optional[str] = None,
+) -> list[str]:
+    """Build the gst-launch argv for a capture pipeline, mirroring the
+    reference's GStreamer graph (``crates/chalkydri/src/cameras/
+    pipeline.rs:76-165``): source -> (jpegdec for MJPG USB cams) ->
+    videoconvert -> GRAY8 capsfilter -> fdsink. Rotation/flip stays
+    host-side in ``_orient`` (the reference's videoflip), exposure via the
+    V4L2 ioctl path.
+
+    ``source``: "v4l2" (USB cams) or "libcamera" (Pi CSI camera stacks —
+    the capability the cv2 shim can't reach; libcamerasrc is how the
+    reference's GStreamer build talks to them).
+    """
+    if source == "libcamera":
+        src = ["libcamerasrc"] + (
+            [f"camera-name={node}"] if node and not node.startswith("/dev/")
+            else []
+        )
+    else:
+        src = ["v4l2src", f"device={node}"]
+    dims = []
+    if width:
+        dims.append(f"width={int(width)}")
+    if height:
+        dims.append(f"height={int(height)}")
+    if fps:
+        dims.append(f"framerate={int(round(fps))}/1")
+    caps_tail = ("," + ",".join(dims)) if dims else ""
+    parts: list[str] = list(src)
+    if fourcc == "MJPG":
+        # Compressed wire format: negotiate JPEG at the source, decode in
+        # the pipeline (the reference's jpegdec element, pipeline.rs:92-101).
+        parts += ["!", f"image/jpeg{caps_tail}", "!", "jpegdec"]
+    parts += [
+        "!", "videoconvert",
+        "!", f"video/x-raw,format=GRAY8{caps_tail}",
+        # sync=false: never throttle to the clock — newest-frame latency
+        # discipline, matching appsink sync=false (pipeline.rs:168-172).
+        "!", "fdsink", "fd=1", "sync=false",
+    ]
+    return parts
+
+
+class _GstCapture:
+    """Capture via a ``gst-launch-1.0`` subprocess emitting raw GRAY8
+    frames on stdout, read into the same depth-1 drop-oldest slot as
+    ``_CvCapture``.
+
+    This is the capture backend for camera stacks cv2/V4L2 can't open —
+    Raspberry Pi CSI cameras via libcamerasrc — and for exercising the
+    reference's exact GStreamer graph shape on hosts that have it
+    (pipeline.rs:76-165). Selected with ``capture_backend = "gstreamer"``
+    or ``"libcamera"`` in the camera config; requires the gst-launch
+    binary (override with CHALKYDRI_GST_LAUNCH for tests)."""
+
+    def __init__(self, node: str, width: int, height: int,
+                 fps: Optional[float], source: str = "v4l2",
+                 fourcc: Optional[str] = None):
+        import shutil
+        import subprocess
+
+        binary = os.environ.get("CHALKYDRI_GST_LAUNCH", "gst-launch-1.0")
+        if shutil.which(binary) is None:
+            raise RuntimeError(f"{binary} not found")
+        if not (width and height):
+            raise ValueError("gstreamer capture needs explicit width/height "
+                             "(frames are framed by size on the raw pipe)")
+        self.width, self.height = int(width), int(height)
+        argv = [binary, "-q"] + build_gst_pipeline(
+            source, node, width, height, fps, fourcc=fourcc
+        )
+        self._proc = subprocess.Popen(
+            argv, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            bufsize=0,
+        )
+        self._slot = None
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        n = self.width * self.height
+        stdout = self._proc.stdout
+        while not self._stop.is_set():
+            chunks = []
+            got = 0
+            while got < n:
+                chunk = stdout.read(n - got)
+                if not chunk:  # EOF: pipeline exited
+                    return
+                chunks.append(chunk)
+                got += len(chunk)
+            frame = np.frombuffer(b"".join(chunks), np.uint8).reshape(
+                self.height, self.width
+            )
+            with self._lock:
+                self._slot = (frame, time.monotonic_ns() // 1000)
+
+    def latest(self):
+        with self._lock:
+            out, self._slot = self._slot, None
+            return out
+
+    def close(self):
+        self._stop.set()
+        self._proc.terminate()
+        try:
+            self._proc.wait(timeout=1.0)
+        except Exception:
+            self._proc.kill()
+        self._thread.join(timeout=1.0)
+
+
 class SyntheticCapture:
     """Deterministic synthetic camera: renders a moving 36h11 tag scene at a
     fixed rate. Used when the configured device is absent (dev machines, CI)
@@ -310,6 +430,10 @@ class CamPipeline:
         # Capture wire format (e.g. "MJPG" for compressed USB cams, the
         # reference's jpegdec role; None = driver default).
         self.capture_fourcc = config.get("capture_format")
+        # Capture backend: "v4l2" (default, cv2-backed), "gstreamer"
+        # (gst-launch subprocess, reference graph shape), or "libcamera"
+        # (gst-launch + libcamerasrc — Pi CSI camera stacks).
+        self.capture_backend = str(config.get("capture_backend", "v4l2"))
         self._synthetic_ok = synthetic_ok
         # Synthetic-scene knobs (tests/dev only; ignored with real devices).
         self._synth_family = str(config.get("synthetic_family", "tag36h11"))
@@ -324,7 +448,22 @@ class CamPipeline:
         node = PROVIDER.devices().get(self.cam_id_str)
         if node is None and os.path.exists(self.cam_id_str):
             node = self.cam_id_str  # allow raw /dev/videoN ids
-        if node is not None:
+        if self.capture_backend in ("gstreamer", "libcamera"):
+            # CSI/libcamera cameras have no /dev/videoN the provider can
+            # see; the camera id itself names the libcamera device.
+            try:
+                self._cap = _GstCapture(
+                    node or self.cam_id_str, self.width, self.height,
+                    self.fps,
+                    source=("libcamera" if self.capture_backend == "libcamera"
+                            else "v4l2"),
+                    fourcc=self.capture_fourcc,
+                )
+                self._was_present = True
+                return
+            except Exception:
+                self._cap = None
+        elif node is not None:
             try:
                 self._cap = _CvCapture(
                     node, self.width, self.height, self.fps,

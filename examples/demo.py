@@ -12,7 +12,14 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+# This environment's TPU plugin overrides JAX_PLATFORMS from a sitecustomize
+# hook; an explicit config update is the only reliable way to honor a
+# user-requested CPU run (same forcing as tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 from chalkydri_tpu.detector import load_family
 from chalkydri_tpu.detector.families import render_tag

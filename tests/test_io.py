@@ -752,3 +752,128 @@ class TestJavaClientSpec:
         finally:
             client.close()
             tx.close()
+
+
+class TestGstCapture:
+    """The gst-launch subprocess capture backend (CSI/libcamera breadth —
+    the capability the cv2/V4L2 shim can't reach; reference GStreamer
+    graph crates/chalkydri/src/cameras/pipeline.rs:76-165). Exercised
+    against a fake gst-launch binary that emits deterministic GRAY8
+    frames on stdout."""
+
+    FAKE = r'''#!/usr/bin/env python3
+import re
+import sys
+import time
+
+w = h = None
+for a in sys.argv[1:]:
+    m = re.search(r"width=(\d+)", a)
+    if m and "video/x-raw" in a:
+        w = int(m.group(1))
+        h = int(re.search(r"height=(\d+)", a).group(1))
+for i in range(200):
+    frame = bytearray([i % 256]) + bytes(w * h - 1)
+    sys.stdout.buffer.write(frame)
+    sys.stdout.buffer.flush()
+    time.sleep(0.01)
+'''
+
+    @pytest.fixture
+    def fake_gst(self, tmp_path, monkeypatch):
+        fake = tmp_path / "fake-gst-launch"
+        fake.write_text(self.FAKE)
+        fake.chmod(0o755)
+        monkeypatch.setenv("CHALKYDRI_GST_LAUNCH", str(fake))
+        return str(fake)
+
+    def test_pipeline_argv_v4l2_mjpg(self):
+        from chalkydri_tpu.io.camera import build_gst_pipeline
+
+        argv = build_gst_pipeline("v4l2", "/dev/video2", 1280, 800, 60.0,
+                                  fourcc="MJPG")
+        s = " ".join(argv)
+        assert "v4l2src device=/dev/video2" in s
+        assert "image/jpeg,width=1280,height=800,framerate=60/1" in s
+        assert "jpegdec" in s  # pipeline.rs:92-101 role
+        assert "video/x-raw,format=GRAY8,width=1280,height=800" in s
+        assert "fdsink fd=1 sync=false" in s
+
+    def test_pipeline_argv_libcamera(self):
+        from chalkydri_tpu.io.camera import build_gst_pipeline
+
+        argv = build_gst_pipeline("libcamera", "imx708", 640, 480, None)
+        s = " ".join(argv)
+        assert "libcamerasrc camera-name=imx708" in s
+        assert "jpegdec" not in s
+        assert "video/x-raw,format=GRAY8,width=640,height=480" in s
+
+    def test_capture_frames_and_drop_oldest(self, fake_gst):
+        from chalkydri_tpu.io.camera import _GstCapture
+
+        cap = _GstCapture("/dev/video0", 64, 48, 30.0)
+        try:
+            deadline = time.monotonic() + 5.0
+            item = None
+            while item is None and time.monotonic() < deadline:
+                item = cap.latest()
+                time.sleep(0.005)
+            assert item is not None, "no frame from gst subprocess"
+            frame, tov_us = item
+            assert frame.shape == (48, 64) and frame.dtype == np.uint8
+            assert tov_us > 0
+            # newest-frame discipline: the next distinct frame taken must
+            # carry a LATER sequence counter (frame[0,0] is the fake
+            # binary's frame index) — older frames were dropped, not queued.
+            nxt = None
+            while time.monotonic() < deadline:
+                item = cap.latest()
+                if item is not None and int(item[0][0, 0]) != int(frame[0, 0]):
+                    nxt = item
+                    break
+                time.sleep(0.005)
+            assert nxt is not None, "no subsequent frame"
+            assert int(nxt[0][0, 0]) > int(frame[0, 0])
+        finally:
+            cap.close()
+        assert cap._proc.poll() is not None  # subprocess terminated
+
+    def test_campipeline_gstreamer_backend(self, fake_gst):
+        from chalkydri_tpu.io.camera import CamPipeline
+        from chalkydri_tpu.runtime.clock import RobotClock
+
+        clock = RobotClock()
+        pipe = CamPipeline(
+            {"id": "csi0", "name": "picam", "width": 64, "height": 48,
+             "fps": 30.0, "capture_backend": "libcamera"},
+            synthetic_ok=False,
+        )
+        pipe.start(clock)
+        try:
+            deadline = time.monotonic() + 5.0
+            frame = None
+            while frame is None and time.monotonic() < deadline:
+                out = pipe.process(clock)
+                frame = out.payload
+                time.sleep(0.005)
+            assert frame is not None and frame.shape == (48, 64)
+            assert out.tov.time_us is not None and out.tov.time_us >= 0
+        finally:
+            pipe.stop(clock)
+
+    def test_missing_binary_falls_back(self, monkeypatch):
+        from chalkydri_tpu.io.camera import CamPipeline
+        from chalkydri_tpu.runtime.clock import RobotClock
+
+        monkeypatch.setenv("CHALKYDRI_GST_LAUNCH", "/nonexistent-gst")
+        pipe = CamPipeline(
+            {"id": "csi0", "width": 64, "height": 48,
+             "capture_backend": "gstreamer"},
+            synthetic_ok=True,
+        )
+        pipe.start(RobotClock())
+        # backend unavailable -> synthetic fallback keeps the chain alive
+        from chalkydri_tpu.io.camera import SyntheticCapture
+
+        assert isinstance(pipe._cap, SyntheticCapture)
+        pipe.stop(RobotClock())

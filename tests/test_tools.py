@@ -151,3 +151,40 @@ class TestSoak:
         assert report["iterations"] >= 2
         assert report["packets_rx"] >= 1  # wire path exercised
         assert "app.dispatch" in report["spans"]
+
+
+class TestImportHygiene:
+    def test_package_import_does_not_initialize_jax_backend(self):
+        """Importing chalkydri_tpu must not create device arrays at module
+        scope: committing a backend at import time hangs every CLI/import
+        when the TPU transport is down, and pins the platform before apps
+        (or tests) can select one. Regression: geometry/transforms.py,
+        detector/homography.py and subsystems/aaec.py once held
+        module-level jnp constants. Run in a subprocess because this
+        process's conftest already initialized a backend."""
+        import subprocess
+        import sys
+
+        code = (
+            "import jax\n"
+            "import jax._src.xla_bridge as xb\n"
+            "orig = xb.backends\n"
+            "fired = []\n"
+            "xb.backends = lambda *a, **k: (fired.append(1), orig(*a, **k))[1]\n"
+            "import chalkydri_tpu\n"
+            "import chalkydri_tpu.pipeline\n"
+            "import chalkydri_tpu.detector.pipeline\n"
+            "import chalkydri_tpu.solver.sqpnp\n"
+            "import chalkydri_tpu.runtime.app\n"
+            "import chalkydri_tpu.parallel.sharded_stages\n"
+            "import chalkydri_tpu.subsystems.aaec\n"
+            "assert not fired, 'package import initialized a JAX backend'\n"
+            "print('CLEAN')\n"
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=120, env=env,
+        )
+        assert out.returncode == 0, out.stderr
+        assert "CLEAN" in out.stdout
