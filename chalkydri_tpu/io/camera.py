@@ -283,24 +283,32 @@ class _GstCapture:
         self._slot = None
         self._lock = threading.Lock()
         self._stop = threading.Event()
+        self.dead = False  # set when the subprocess exits; CamPipeline
+        #                    re-opens (or falls back) instead of silently
+        #                    never producing frames again
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def _loop(self):
-        n = self.width * self.height
+        # GStreamer raw GRAY8 rows are stride-padded to 4 bytes
+        # (GST_ROUND_UP_4); reading exactly width*height would skew every
+        # frame after the first for widths not divisible by 4.
+        stride = (self.width + 3) & ~3
+        n = stride * self.height
         stdout = self._proc.stdout
         while not self._stop.is_set():
             chunks = []
             got = 0
             while got < n:
                 chunk = stdout.read(n - got)
-                if not chunk:  # EOF: pipeline exited
+                if not chunk:  # EOF: pipeline exited (error or unplug)
+                    self.dead = True
                     return
                 chunks.append(chunk)
                 got += len(chunk)
             frame = np.frombuffer(b"".join(chunks), np.uint8).reshape(
-                self.height, self.width
-            )
+                self.height, stride
+            )[:, : self.width]
             with self._lock:
                 self._slot = (frame, time.monotonic_ns() // 1000)
 
@@ -440,6 +448,7 @@ class CamPipeline:
         self._synth_tag_ids = config.get("synthetic_tag_ids", (3, 4))
         self._cap = None
         self._was_present = False
+        self._retry_after = 0.0  # monotonic gate on re-open attempts
 
     def start(self, clock: RobotClock) -> None:
         self._open()
@@ -490,7 +499,18 @@ class CamPipeline:
             self._cap.set_exposure(value)
 
     def process(self, clock: RobotClock) -> Stamped:
+        if self._cap is not None and getattr(self._cap, "dead", False):
+            # The gst subprocess exited (caps negotiation error, crash,
+            # camera unplug): close and re-open — next _open() retries the
+            # backend or falls back to synthetic, instead of this camera
+            # silently never producing a frame again.
+            self._cap.close()
+            self._cap = None
+            self._retry_after = time.monotonic() + 1.0  # don't respawn a
+            #   failing subprocess at app-loop rate
         if self._cap is None:
+            if time.monotonic() < self._retry_after:
+                return Stamped(None, Tov())
             self._open()
             if self._cap is None:
                 return Stamped(None, Tov())

@@ -318,7 +318,14 @@ class NT4Client:
                          mask=True)
         if sync:
             try:
-                self.rtt_sync()
+                # Fire-and-forget: _on_connected runs on the manager thread
+                # BEFORE it enters _reader_loop, and the reader is what
+                # consumes the RTT echo — waiting here would always burn the
+                # full timeout and then skew the clock offset by ~timeout/2
+                # when the stale echo is finally drained (offset math uses
+                # consumption time as the arrival time). The reader computes
+                # the offset correctly whenever the echo lands.
+                self.rtt_sync(wait=False)
             except (OSError, ConnectionError):
                 pass
         for topic, value in list(self._retained.items()):
@@ -465,10 +472,16 @@ class NT4Client:
 
     # -- RTT time sync --------------------------------------------------------
 
-    def rtt_sync(self, timeout: float = 1.0) -> Optional[int]:
+    def rtt_sync(self, timeout: float = 1.0, wait: bool = True
+                 ) -> Optional[int]:
         """One NT4 RTT ping (binary frame to topic -1). Returns the measured
         round trip in microseconds (None on timeout) and updates the server
-        clock offset used by server_time_us()."""
+        clock offset used by server_time_us().
+
+        ``wait=False`` sends the ping and returns immediately — required
+        when called from the thread that will itself become the reader
+        (reconnect path), which could never observe the echo it is waiting
+        for; the offset updates when the reader drains the echo."""
         self._rtt_event.clear()
         with self._lock:
             if self._sock is None:
@@ -476,6 +489,8 @@ class NT4Client:
             payload = msgpack_encode([-1, 0, NT_TYPES["double"],
                                       float(self._now_us())])
             _ws_send(self._sock, payload, opcode=0x2, mask=True)
+        if not wait:
+            return None
         if self._rtt_event.wait(timeout):
             return self._rtt_us
         return None
@@ -544,8 +559,6 @@ class NT4Client:
         disconnected (reconnect pending) the value is dropped silently —
         callers never see transport state. ``retained=True`` re-sends the
         latest value on every (re)connection."""
-        if retained:
-            self._retained[topic] = value
         if isinstance(value, bool):
             nt_type = "boolean"
         elif isinstance(value, (int, float)):
@@ -554,6 +567,10 @@ class NT4Client:
             nt_type = "string"
         else:
             raise TypeError(f"unsupported NT value {type(value)}")
+        # Record AFTER type validation: a rejected value must not be
+        # re-published (and re-raise) on every reconnect forever.
+        if retained:
+            self._retained[topic] = value
         try:
             with self._lock:
                 if self._sock is None:

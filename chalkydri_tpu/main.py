@@ -38,6 +38,10 @@ def main(argv=None) -> int:
                         "(default ~/.cache/chalkydri-tpu; 'none' disables)")
     args = p.parse_args(argv)
 
+    from chalkydri_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
     print(BANNER, file=sys.stderr)
 
     # Persistent compilation cache: the deployment story is systemd

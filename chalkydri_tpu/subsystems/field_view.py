@@ -70,6 +70,14 @@ class FieldView:
         self._traces: dict[int, collections.deque] = {}
         # cam_id -> (x, y, yaw, std_x, std_y, tag_count)
         self._latest: dict[int, tuple] = {}
+        # Rendering runs on its own thread: on_pose is called inline from
+        # App's publish path, and a cv2 polylines/fillPoly pass over the
+        # ~800x400 canvas plus imencode costs milliseconds — inline it
+        # would delay the other cameras' UDP packets and the next capture
+        # (the latency budget pipeline_depth=0 exists to protect).
+        self._dirty = threading.Event()
+        self._stop = threading.Event()
+        self._render_thread: threading.Thread | None = None
 
         length, width = layout.field_size
         self.field_len = float(length) or 16.518
@@ -99,7 +107,8 @@ class FieldView:
     # -- observers ------------------------------------------------------------
 
     def on_pose(self, cam_id, pose, std, tag_count, latency_us=0) -> None:
-        """App pose observer: record and (rate-limited) re-render."""
+        """App pose observer: record the pose (cheap) and wake the render
+        thread; never renders inline on the publish path."""
         with self._lock:
             trace = self._traces.setdefault(
                 int(cam_id), collections.deque(maxlen=TRACE_LEN)
@@ -109,10 +118,38 @@ class FieldView:
                 float(pose.x), float(pose.y), float(pose.rot),
                 float(std.x), float(std.y), int(tag_count),
             )
-        now = time.monotonic()
-        if now - self._last_render >= self._min_period:
-            self._last_render = now
-            self._render_push()
+            if self._render_thread is None:
+                self._render_thread = threading.Thread(
+                    target=self._render_loop, daemon=True,
+                    name="field-view-render",
+                )
+                self._render_thread.start()
+        self._dirty.set()
+
+    def _render_loop(self) -> None:
+        while not self._stop.is_set():
+            if not self._dirty.wait(timeout=0.5):
+                continue
+            self._dirty.clear()
+            wait = self._last_render + self._min_period - time.monotonic()
+            if wait > 0:
+                time.sleep(wait)
+            self._last_render = time.monotonic()
+            try:
+                self._render_push()
+            except Exception:  # a render bug must not kill the thread
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "field view render failed", exc_info=True
+                )
+
+    def close(self) -> None:
+        self._stop.set()
+        self._dirty.set()
+        t = self._render_thread
+        if t is not None and t.is_alive():
+            t.join(timeout=1.0)
 
     # -- rendering ------------------------------------------------------------
 

@@ -88,7 +88,13 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    sys.path.insert(0, ".")
+    # bench.py lives at the repo root (one level above the package), not
+    # necessarily the cwd.
+    import chalkydri_tpu as _pkg
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+    )
     from bench import BATCH, H, W, build_scene
     from chalkydri_tpu.detector.cluster import (
         _INT_MAX,

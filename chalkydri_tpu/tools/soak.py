@@ -88,6 +88,10 @@ def main(argv=None) -> int:
                         "same iteration's frames (latency mode)")
     args = p.parse_args(argv)
 
+    from chalkydri_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
     import socket
 
     import numpy as np

@@ -80,6 +80,10 @@ def model(frame):
 def main():
     import jax
 
+    from chalkydri_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
     # synthetic scene: noisy background + one bright disk
     rng = np.random.default_rng(7)
     frame = rng.normal(120, 12, (480, 640)).astype(np.float32)

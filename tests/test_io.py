@@ -453,7 +453,13 @@ class TestMjpeg:
                 0, RobotPose(2.0 + 0.5 * i, 3.0 + 0.1 * i, 0.2),
                 VisionUncertainty(0.05, 0.05, 0.1), tag_count=2,
             )
+        # Rendering is asynchronous (a background thread, so the publish
+        # path never pays the cv2/encode cost): poll for the first frame.
+        deadline = time.monotonic() + 5.0
+        while len(view.ring) < 1 and time.monotonic() < deadline:
+            time.sleep(0.01)
         assert len(view.ring) >= 1
+        view.close()
 
         # Rendered canvas: trace pixels present along the track, tag marker
         # drawn at the tag location.
@@ -877,3 +883,44 @@ for i in range(200):
 
         assert isinstance(pipe._cap, SyntheticCapture)
         pipe.stop(RobotClock())
+
+
+class TestNT4RttOnReconnectPath:
+    def test_background_start_syncs_clock_fast(self):
+        """The background-start (manager thread) path must get a correct
+        clock offset promptly: the (re)connect hook fires the RTT ping
+        without waiting (the same thread becomes the reader that consumes
+        the echo — a blocking wait burned its full timeout and then skewed
+        the offset by ~timeout/2 when the stale echo was drained)."""
+        from chalkydri_tpu.io.networktables import MiniNTServer, NT4Client
+
+        srv = MiniNTServer().start()
+        c = NT4Client("127.0.0.1", srv.port, identity="rtt-bg").start()
+        try:
+            deadline = time.time() + 5
+            while time.time() < deadline and c._rtt_us is None:
+                time.sleep(0.01)
+            assert c._rtt_us is not None, "no RTT echo consumed"
+            # Loopback round trip is sub-millisecond; anything near the
+            # 1 s rtt_sync timeout means the echo sat unconsumed and the
+            # offset is off by ~500 ms.
+            assert c._rtt_us < 200_000, f"RTT inflated: {c._rtt_us} us"
+        finally:
+            c.close()
+            srv.stop()
+
+    def test_retained_rejects_unsupported_type_without_poisoning(self):
+        """A type-rejected retained value must not be recorded (it would be
+        re-published, and re-raise, on every reconnect forever)."""
+        from chalkydri_tpu.io.networktables import MiniNTServer, NT4Client
+
+        srv = MiniNTServer().start()
+        c = NT4Client("127.0.0.1", srv.port, identity="rtt-ret")
+        c.connect()
+        try:
+            with pytest.raises(TypeError):
+                c.publish("/bad", [1, 2, 3], retained=True)
+            assert "/bad" not in c._retained
+        finally:
+            c.close()
+            srv.stop()
