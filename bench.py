@@ -146,6 +146,32 @@ def bench_cpu_reference(frame):
     return max(batch_fps), batch_fps
 
 
+def _check_device_reachable(timeout_s: float = 180.0) -> None:
+    """Fail fast (exit 2) when the TPU transport is down: backend init has
+    no timeout of its own, and a silently hung bench records nothing."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        float(jnp.sum(jax.jit(lambda a: a @ a)(jnp.ones((8, 8)))))
+        ok.append(jax.devices()[0])
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok:
+        print(
+            json.dumps({"error": "device unreachable",
+                        "detail": f"backend init exceeded {timeout_s:.0f}s"}),
+            file=sys.stderr,
+        )
+        os._exit(2)
+
+
 def main():
     frame = build_scene()
     frames = np.broadcast_to(frame, (BATCH, H, W)).copy()
@@ -153,6 +179,7 @@ def main():
     # Denominator first: JAX/TPU init and compilation load the host; the
     # CPU reference must see a quiet machine.
     cpu_fps, cpu_samples = bench_cpu_reference(frame)
+    _check_device_reachable()
     tpu_fps, n_det, dev = bench_tpu(frames)
 
     mean = sum(cpu_samples) / len(cpu_samples)
