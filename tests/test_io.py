@@ -778,8 +778,15 @@ for a in sys.argv[1:]:
     if m and "video/x-raw" in a:
         w = int(m.group(1))
         h = int(re.search(r"height=(\d+)", a).group(1))
+# GRAY8 rows are stride-padded to 4 bytes (GST_ROUND_UP_4), like real
+# GStreamer buffers; pad bytes are 0xEE so a stride bug shows up as
+# garbage pixels in the test assertions.
+stride = (w + 3) & ~3
 for i in range(200):
-    frame = bytearray([i % 256]) + bytes(w * h - 1)
+    row0 = bytearray([i % 256]) + bytes([7] * (w - 1))
+    row = bytearray([7] * w)
+    pad = bytes([0xEE] * (stride - w))
+    frame = bytes(row0) + pad + (bytes(row) + pad) * (h - 1)
     sys.stdout.buffer.write(frame)
     sys.stdout.buffer.flush()
     time.sleep(0.01)
@@ -814,10 +821,11 @@ for i in range(200):
         assert "jpegdec" not in s
         assert "video/x-raw,format=GRAY8,width=640,height=480" in s
 
-    def test_capture_frames_and_drop_oldest(self, fake_gst):
+    @pytest.mark.parametrize("w", [64, 62])  # 62 % 4 != 0: stride-padded rows
+    def test_capture_frames_and_drop_oldest(self, fake_gst, w):
         from chalkydri_tpu.io.camera import _GstCapture
 
-        cap = _GstCapture("/dev/video0", 64, 48, 30.0)
+        cap = _GstCapture("/dev/video0", w, 48, 30.0)
         try:
             deadline = time.monotonic() + 5.0
             item = None
@@ -826,8 +834,11 @@ for i in range(200):
                 time.sleep(0.005)
             assert item is not None, "no frame from gst subprocess"
             frame, tov_us = item
-            assert frame.shape == (48, 64) and frame.dtype == np.uint8
+            assert frame.shape == (48, w) and frame.dtype == np.uint8
             assert tov_us > 0
+            # Body pixels are 7; the 0xEE stride padding must never leak
+            # into the frame (and the frame must stay row-aligned).
+            assert (frame[1:] == 7).all(), "stride padding leaked into rows"
             # newest-frame discipline: the next distinct frame taken must
             # carry a LATER sequence counter (frame[0,0] is the fake
             # binary's frame index) — older frames were dropped, not queued.
@@ -866,6 +877,58 @@ for i in range(200):
             assert out.tov.time_us is not None and out.tov.time_us >= 0
         finally:
             pipe.stop(clock)
+
+    def test_dead_subprocess_reopens(self, tmp_path, monkeypatch):
+        """A gst pipeline that exits (caps error, crash, unplug) must not
+        silently kill the camera: CamPipeline detects EOF and re-opens
+        after a backoff, so frames resume across subprocess lifetimes."""
+        from chalkydri_tpu.io.camera import CamPipeline
+        from chalkydri_tpu.runtime.clock import RobotClock
+
+        fake = tmp_path / "fake-gst-short"
+        fake.write_text(
+            "#!/usr/bin/env python3\n"
+            "import sys, time\n"
+            "import os\n"
+            "marker = '/tmp/' + os.environ.get('GST_RUN_MARK', 'gstmark')\n"
+            "open(marker, 'a').write('x')\n"
+            "for i in range(3):\n"
+            "    sys.stdout.buffer.write(bytes([i % 256] * (64 * 48)))\n"
+            "    sys.stdout.buffer.flush()\n"
+            "    time.sleep(0.02)\n"
+        )
+        fake.chmod(0o755)
+        monkeypatch.setenv("CHALKYDRI_GST_LAUNCH", str(fake))
+        mark = f"gstmark-{os.getpid()}"
+        monkeypatch.setenv("GST_RUN_MARK", mark)
+        mark_path = f"/tmp/{mark}"
+        if os.path.exists(mark_path):
+            os.unlink(mark_path)
+
+        clock = RobotClock()
+        pipe = CamPipeline(
+            {"id": "flaky", "width": 64, "height": 48,
+             "capture_backend": "gstreamer"},
+            synthetic_ok=False,
+        )
+        # Shrink the re-open backoff so the test completes quickly.
+        pipe.start(clock)
+        deadline = time.monotonic() + 10.0
+        spawns = 0
+        while time.monotonic() < deadline:
+            pipe.process(clock)
+            if pipe._cap is None or getattr(pipe._cap, "dead", False):
+                pipe._retry_after = 0.0  # collapse the 1 s backoff
+            try:
+                spawns = len(open(mark_path).read())
+            except OSError:
+                spawns = 0
+            if spawns >= 2:
+                break
+            time.sleep(0.01)
+        os.unlink(mark_path)
+        pipe.stop(clock)
+        assert spawns >= 2, "capture was not re-opened after subprocess exit"
 
     def test_missing_binary_falls_back(self, monkeypatch):
         from chalkydri_tpu.io.camera import CamPipeline
