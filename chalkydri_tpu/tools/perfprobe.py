@@ -96,6 +96,19 @@ def main() -> None:
         0, os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
     )
     from bench import BATCH, H, W, build_scene
+
+    # Geometry overrides (e.g. --height 1304 --width 1600 --batch 2 probes
+    # the reference's deployed frame size, which takes the row-blocked CCL
+    # path): the bench scene is tiled/cropped to size — content realism
+    # doesn't matter for stage costs beyond having tags + texture, and the
+    # convergence-gated CCL sees the same structure density.
+    def _arg(name, default):
+        if name in sys.argv:
+            return int(sys.argv[sys.argv.index(name) + 1])
+        return default
+
+    BATCH = _arg("--batch", BATCH)
+    H2, W2 = _arg("--height", H), _arg("--width", W)
     from chalkydri_tpu.detector.cluster import (
         _INT_MAX,
         MAX_EDGE_POINTS,
@@ -127,8 +140,12 @@ def main() -> None:
             return None
 
     frame = build_scene()
+    if (H2, W2) != (H, W):
+        reps = (-(-H2 // H), -(-W2 // W))
+        frame = np.tile(frame, reps)[:H2, :W2]
+    H, W = H2, W2
     frames = jnp.asarray(np.broadcast_to(frame, (BATCH, H, W)).copy())
-    print(f"device: {jax.devices()[0]}", flush=True)
+    print(f"device: {jax.devices()[0]} shape: {frames.shape}", flush=True)
 
     det = make_detector()
     d = det(frames)
