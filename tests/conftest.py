@@ -10,9 +10,14 @@ explicitly with tolerances.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# CHALKYDRI_TEST_PLATFORM overrides the default CPU forcing — e.g.
+# `CHALKYDRI_TEST_PLATFORM=axon pytest -k "kernel or fused"` re-runs the
+# Pallas kernel parity tests on the real TPU chip (x64 stays off there:
+# the TPU has no f64).
+_platform = os.environ.get("CHALKYDRI_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if _platform == "cpu" and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
@@ -23,9 +28,10 @@ import jax  # noqa: E402
 
 # The environment's sitecustomize registers a TPU PJRT plugin and pins
 # JAX_PLATFORMS before this file runs; override explicitly so the test suite
-# always runs on the virtual 8-device CPU mesh.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# runs where it's told (default: the virtual 8-device CPU mesh).
+jax.config.update("jax_platforms", _platform)
+if _platform == "cpu":
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
