@@ -29,7 +29,13 @@ import numpy as np
 H, W = 800, 1280
 BATCH = 4
 WARMUP = 3
-ITERS = 20
+# Iterations inside the ONE lax.scan dispatch. The per-call wall time is
+# dispatch RTT + ITERS * step; on this environment's remote-TPU tunnel the
+# RTT is ~27 ms (BENCH_NOTES.md), so at 20 iters it inflated the reported
+# step by ~1.3 ms. 100 iters amortizes it to ~0.3 ms; steady-state
+# production dispatches asynchronously (pipeline_depth >= 1), so per-
+# dispatch RTT does not bound deployed throughput.
+ITERS = 100
 
 
 def build_scene():
