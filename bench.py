@@ -31,11 +31,13 @@ BATCH = 4
 WARMUP = 3
 # Iterations inside the ONE lax.scan dispatch. The per-call wall time is
 # dispatch RTT + ITERS * step; on this environment's remote-TPU tunnel the
-# RTT is ~27 ms (BENCH_NOTES.md), so at 20 iters it inflated the reported
-# step by ~1.3 ms. 100 iters amortizes it to ~0.3 ms; steady-state
+# RTT is ~30 ms (measured with an empty-body scan: total wall ~30 ms
+# whether the scan runs 50 or 200 iterations), so at 20 iters it inflated
+# the reported step by ~1.5 ms. 400 iters amortizes the bias below 0.1 ms
+# (kept in the number rather than subtracted — conservative); steady-state
 # production dispatches asynchronously (pipeline_depth >= 1), so per-
 # dispatch RTT does not bound deployed throughput.
-ITERS = 100
+ITERS = 400
 
 
 def build_scene():

@@ -13,7 +13,11 @@ Timing method (docs/performance.md): N iterations inside ONE ``lax.scan``
 with an input perturbed per iteration so nothing is CSE'd, and a forced
 host fetch of a scalar reduction — ``block_until_ready`` alone is not a
 reliable barrier through a remote-TPU tunnel, and per-dispatch walls
-include transport RTT.
+include transport RTT. The scan dispatch itself costs a fixed ~30 ms on
+the tunnel regardless of body or iteration count; devtime measures that
+empty-body overhead once and SUBTRACTS it (at the old 50-iteration
+setting without subtraction, every stage read ~0.6 ms high — which
+mis-ranked sub-millisecond stages in the round-3 cost map).
 
 ``--cpu`` runs a 2-iteration functional smoke off-device (the numbers are
 not TPU numbers; it proves the probe paths execute and is what CI can
@@ -28,8 +32,42 @@ import time
 from functools import partial
 
 
-_N_ITERS = 50
+_N_ITERS = 200
 _N_REPS = 3
+
+# One dispatch of the scan harness costs a fixed wall overhead that has
+# NOTHING to do with the measured op — on the tunneled axon backend it is
+# the ~30 ms transport round trip. At the old 50 iterations that bias was
+# +0.6 ms on EVERY stage number (it made the ~50 us decimate read as
+# 0.65 ms and hid that the sort scales ~linearly in rows). devtime now
+# measures the empty-body dispatch cost once per process and subtracts it.
+_DISPATCH_MS = None
+
+
+def _dispatch_overhead_ms(reps=5):
+    """Fixed per-dispatch wall cost of the scan harness (empty body)."""
+    global _DISPATCH_MS
+    if _DISPATCH_MS is not None:
+        return _DISPATCH_MS
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def empty():
+        def body(c, i):
+            return c + i.astype(jnp.float32), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(8))
+        return c
+
+    float(empty())
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(empty())
+        best = min(best, (time.perf_counter() - t0) * 1000)
+    _DISPATCH_MS = best
+    return best
 
 
 def devtime(fn, args, n=None, reps=None, perturb_idx=0):
@@ -39,6 +77,7 @@ def devtime(fn, args, n=None, reps=None, perturb_idx=0):
 
     n = _N_ITERS if n is None else n
     reps = _N_REPS if reps is None else reps
+    overhead = _dispatch_overhead_ms()
 
     @jax.jit
     def many(*args):
@@ -62,8 +101,8 @@ def devtime(fn, args, n=None, reps=None, perturb_idx=0):
     for _ in range(reps):
         t0 = time.perf_counter()
         float(many(*args))
-        best = min(best, (time.perf_counter() - t0) / n * 1000)
-    return best
+        best = min(best, ((time.perf_counter() - t0) * 1000 - overhead) / n)
+    return max(best, 0.0)
 
 
 def main() -> None:
