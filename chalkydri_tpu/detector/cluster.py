@@ -42,7 +42,7 @@ MAX_EDGE_POINTS = 1 << 16  # per frame, after sorting/compaction
 # (halving to 2^15 was measured 0.73 ms faster on v5e but drops the
 # noisy-corpus tag at 640x480 — capacity is a robustness parameter)
 MAX_CLUSTERS = 64  # candidate quads per frame
-MAX_CLUSTER_POINTS = 256  # boundary points kept per cluster (stride-subsampled)
+MAX_CLUSTER_POINTS = 128  # boundary points kept per cluster (stride-subsampled)
 MIN_CLUSTER_POINTS = 24  # smaller clusters can't be a tag border
 MIN_SAME_NEIGHBORS = 2  # speckle gate (see module docstring)
 
@@ -287,7 +287,18 @@ def _segment_backend() -> str:
     return "pallas" if _segment_kernel_compiles() else "jnp"
 
 
-def cluster_candidates(
+# The (black, white) pair hash is HASH_BITS wide; the rest of a 32-bit
+# fused sort key holds the frame index, so ONE lax.sort orders a whole
+# batch: a batched (vmapped) per-frame sort on v5e costs ~2.3x per element
+# what a single fused sort does (0.73 ms vs 0.40 ms at 4x131k rows,
+# BENCH_NOTES.md). 26 hash bits support batches up to 16 frames per fused
+# sort with the prefix still a positive int32; larger batches chunk.
+HASH_BITS = 26
+_HASH_MASK = (1 << HASH_BITS) - 1  # doubles as the per-frame sentinel
+_FUSED_BATCH_MAX = 16
+
+
+def cluster_candidates_batched(
     black: jax.Array,
     white: jax.Array,
     payload: jax.Array,
@@ -298,38 +309,72 @@ def cluster_candidates(
     dropped=None,
     segment_backend: str | None = None,
 ) -> Clusters:
-    """Group (possibly compacted) boundary candidates into clusters: the
-    sort -> run-length segment -> top-K -> window-gather tail, shared by the
-    single-device path (``gradient_clusters``) and the spatially-sharded
-    path (parallel/pipeline.py), whose globally-consistent ICI compaction
-    hands it a bitwise-identical candidate array."""
-    # --- group by (black, white) via ONE single-key sort over a 30-bit
-    # multiply-xor hash of the pair. Grouping only needs a consistent
-    # total order, not a lexicographic one, and the sort cost on v5e is
-    # dominated by operand data movement: (hash, payload) with num_keys=1
-    # measured 1.71 ms vs 2.16 ms for (black, white, payload) with
-    # num_keys=2 at 131k rows — the label values themselves are never
-    # used after grouping. Colliding (black, white) pairs would merge two
-    # clusters; with ~50 real pairs per frame and a 2^30 space that is
-    # ~1e-6 per frame (libapriltag's u64 hashmap accepts the same class
-    # of risk, apriltag.c gradient_clusters via zhash) -------------------
+    """Group (possibly compacted) boundary candidates into clusters for a
+    BATCH of frames ([B, n] inputs, leading batch dim on every output):
+    one fused sort -> per-frame run-length segment -> top-K -> window-gather
+    tail. Shared by the single-device path (``gradient_clusters`` /
+    make_detector) and the spatially-sharded path (parallel/pipeline.py),
+    whose globally-consistent ICI compaction hands it a bitwise-identical
+    candidate array.
+
+    The sort is CANONICAL — lexicographic (frame | hash, payload) with
+    num_keys=2, and payload is unique per candidate — so each frame's
+    sorted segment (and everything downstream) is a pure function of that
+    frame's candidate SET, independent of batch size, batch position, or
+    compaction block order. That is what keeps the sharded path (local
+    batch = per-shard frames) bit-identical to the single-device path
+    (local batch = all frames) in the integer detection fields."""
+    b = black.shape[0]
+    if b > _FUSED_BATCH_MAX:  # chunk oversized batches through the fused path
+        parts = [
+            cluster_candidates_batched(
+                black[i:i + _FUSED_BATCH_MAX],
+                white[i:i + _FUSED_BATCH_MAX],
+                payload[i:i + _FUSED_BATCH_MAX],
+                max_points=max_points, max_clusters=max_clusters,
+                cluster_points=cluster_points, min_points=min_points,
+                dropped=None if dropped is None
+                else dropped[i:i + _FUSED_BATCH_MAX],
+                segment_backend=segment_backend,
+            )
+            for i in range(0, b, _FUSED_BATCH_MAX)
+        ]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+
+    # --- group by (black, white) via ONE fused 2-key sort over a 26-bit
+    # multiply-xor hash of the pair, frame index in the high bits.
+    # Grouping only needs a consistent order; the label values are never
+    # used after grouping. Colliding pairs would merge two clusters; with
+    # ~50 real pairs per frame and a 2^26 space that is ~2e-5 per frame
+    # (libapriltag's u64 hashmap accepts the same class of risk,
+    # apriltag.c gradient_clusters via zhash) ----------------------------
     invalid = black == _INT_MAX
     key = (
         black * jnp.int32(-1640531527)  # 0x9E3779B1 (wrapping)
     ) ^ (white * jnp.int32(-2048144789))  # 0x85EBCA6B
-    key = key & 0x3FFFFFFF  # 30-bit: valid keys sort before the sentinel
-    key = jnp.where(invalid, _INT_MAX, key)
-    s_key, s_payload = jax.lax.sort(
-        (key, payload), dimension=0, is_stable=False, num_keys=1
+    key = key & _HASH_MASK
+    # _HASH_MASK is reserved as the per-frame invalid sentinel (it must
+    # sort to the frame's tail, INSIDE the frame's segment).
+    key = jnp.where(key == _HASH_MASK, _HASH_MASK - 1, key)
+    key = jnp.where(invalid, _HASH_MASK, key)
+    fused = key | (jnp.arange(b, dtype=jnp.int32) << HASH_BITS)[:, None]
+    sf_key, sf_payload = jax.lax.sort(
+        (fused.reshape(-1), payload.reshape(-1)),
+        dimension=0, is_stable=False, num_keys=2,
     )
-    # Invalid candidates carry the INT32_MAX sentinel and sort to the tail;
+    # Frame prefixes dominate the key, so each frame's rows land in its own
+    # contiguous segment at a FIXED offset: reshape recovers the batch.
+    s_key = sf_key.reshape(b, -1) & _HASH_MASK
+    s_key = jnp.where(s_key == _HASH_MASK, _INT_MAX, s_key)
+    s_payload = sf_payload.reshape(b, -1)
+    # Invalid candidates carry the sentinel and sort to each frame's tail;
     # the head slice keeps every valid candidate whenever <= max_points
     # exist.
-    if s_key.shape[0] > max_points:
-        s_key = s_key[:max_points]
-        s_payload = s_payload[:max_points]
-    n = s_key.shape[0]
-    s_valid = s_key != _INT_MAX
+    if s_key.shape[1] > max_points:
+        s_key = s_key[:, :max_points]
+        s_payload = s_payload[:, :max_points]
+    n = s_key.shape[1]
 
     # --- run-length segmentation + chunked top-2 pre-selection -------------
     # t = inclusive cumsum of the direction-0 indicator; cand_len/cand_pos
@@ -350,46 +395,53 @@ def cluster_candidates(
             segment_stats_pallas,
         )
 
-        t, cand_len, cand_pos = segment_stats_pallas(
-            s_key, s_payload,
-            interpret=(segment_backend == "pallas_interpret"),
-        )
+        t, cand_len, cand_pos = jax.vmap(
+            lambda k, p: segment_stats_pallas(
+                k, p, interpret=(segment_backend == "pallas_interpret"),
+            )
+        )(s_key, s_payload)
     else:
-        prev_key = jnp.concatenate([jnp.array([-1], jnp.int32), s_key[:-1]])
-        new_seg = s_key != prev_key
 
-        idx = jnp.arange(n, dtype=jnp.int32)
-        # run start position for every element: forward cummax of starts
-        start_pos = jax.lax.cummax(jnp.where(new_seg, idx, -1))
-        # next run start AFTER every element: reverse cummin of starts
-        nxt = jnp.where(new_seg, idx, _INT_MAX)
-        next_start = jax.lax.cummin(nxt, reverse=True)
-        next_start = jnp.concatenate(
-            [next_start[1:], jnp.array([n], jnp.int32)])
-        next_start = jnp.minimum(next_start, n)
-        run_len = next_start - start_pos
-        score = jnp.where(new_seg & s_valid, run_len, 0)
-        d0_all = ((((s_payload >> 26) & 0x3) == 0) & s_valid).astype(
-            jnp.int32)
-        t = jnp.cumsum(d0_all)
+        def _segment_jnp(s_key, s_payload):
+            s_valid = s_key != _INT_MAX
+            prev_key = jnp.concatenate(
+                [jnp.array([-1], jnp.int32), s_key[:-1]])
+            new_seg = s_key != prev_key
 
-        pad = (-n) % chunk
-        if pad:
-            score_p = jnp.concatenate(
-                [score, jnp.zeros((pad,), score.dtype)])
-        else:
-            score_p = score
-        n_chunks = score_p.shape[0] // chunk
-        grid = score_p.reshape(n_chunks, chunk)
-        m1 = grid.max(axis=1)
-        a1 = grid.argmax(axis=1).astype(jnp.int32)
-        col = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, chunk), 1)
-        grid2 = jnp.where(col == a1[:, None], 0, grid)
-        m2 = grid2.max(axis=1)
-        a2 = grid2.argmax(axis=1).astype(jnp.int32)
-        base = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-        cand_len = jnp.concatenate([m1, m2])
-        cand_pos = jnp.concatenate([base + a1, base + a2])
+            idx = jnp.arange(n, dtype=jnp.int32)
+            # run start position for every element: forward cummax of starts
+            start_pos = jax.lax.cummax(jnp.where(new_seg, idx, -1))
+            # next run start AFTER every element: reverse cummin of starts
+            nxt = jnp.where(new_seg, idx, _INT_MAX)
+            next_start = jax.lax.cummin(nxt, reverse=True)
+            next_start = jnp.concatenate(
+                [next_start[1:], jnp.array([n], jnp.int32)])
+            next_start = jnp.minimum(next_start, n)
+            run_len = next_start - start_pos
+            score = jnp.where(new_seg & s_valid, run_len, 0)
+            d0_all = ((((s_payload >> 26) & 0x3) == 0) & s_valid).astype(
+                jnp.int32)
+            t = jnp.cumsum(d0_all)
+
+            pad = (-n) % chunk
+            if pad:
+                score_p = jnp.concatenate(
+                    [score, jnp.zeros((pad,), score.dtype)])
+            else:
+                score_p = score
+            n_chunks = score_p.shape[0] // chunk
+            grid = score_p.reshape(n_chunks, chunk)
+            m1 = grid.max(axis=1)
+            a1 = grid.argmax(axis=1).astype(jnp.int32)
+            col = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, chunk), 1)
+            grid2 = jnp.where(col == a1[:, None], 0, grid)
+            m2 = grid2.max(axis=1)
+            a2 = grid2.argmax(axis=1).astype(jnp.int32)
+            base = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+            return (t, jnp.concatenate([m1, m2]),
+                    jnp.concatenate([base + a1, base + a2]))
+
+        t, cand_len, cand_pos = jax.vmap(_segment_jnp)(s_key, s_payload)
 
     # Final ranking of the winners is by DIRECTION DIVERSITY, then length:
     # a straight line (directional texture: stripes, fences, wood grain)
@@ -401,14 +453,23 @@ def cluster_candidates(
     # line. Computed for the winners only: ONE plain cumsum over the
     # dir-0 indicator plus a few hundred element gathers — the exact
     # per-run segmented sum costs nothing at this stage.
-    p0 = jnp.clip(cand_pos, 0, n - 1)
+    p0 = jnp.clip(cand_pos, 0, n - 1)  # [B, nc]
     p1 = jnp.clip(cand_pos + cand_len - 1, 0, n - 1)
     # d0 at the run start, recomputed from the GATHERED payload/key (the
-    # dense d0 array lives only inside the segmentation backend).
+    # dense d0 array lives only inside the segmentation backend). All the
+    # gathers from the [B, n] sorted arrays here and below go through
+    # rowsel_gather_batched: flat 1D gathers are the hidden cost of this
+    # stage on TPU, and folding the batch into the row dimension is another
+    # ~2.5x over a vmapped row gather (ops/gather.py).
+    from chalkydri_tpu.ops.gather import rowsel_gather_batched
+
+    pay_p0 = rowsel_gather_batched(s_payload, p0)
+    key_p0 = rowsel_gather_batched(s_key, p0)
     d0_p0 = (
-        (((s_payload[p0] >> 26) & 0x3) == 0) & (s_key[p0] != _INT_MAX)
+        (((pay_p0 >> 26) & 0x3) == 0) & (key_p0 != _INT_MAX)
     ).astype(jnp.int32)
-    d0_run = t[p1] - t[p0] + d0_p0
+    d0_run = (rowsel_gather_batched(t, p1)
+              - rowsel_gather_batched(t, p0) + d0_p0)
     min_dir = jnp.minimum(d0_run, cand_len - d0_run)
     rank = jnp.where(
         cand_len > 0,
@@ -416,23 +477,25 @@ def cluster_candidates(
         + jnp.clip(cand_len, 0, (1 << 15) - 1),
         0,
     )
-    top_rank, top_sel = jax.lax.top_k(rank, max_clusters)
-    top_start = cand_pos[top_sel]
-    top_count = jnp.where(top_rank > 0, cand_len[top_sel], 0)
+    top_rank, top_sel = jax.lax.top_k(rank, max_clusters)  # [B, K]
+    top_start = jnp.take_along_axis(cand_pos, top_sel, axis=1)
+    top_count = jnp.where(
+        top_rank > 0, jnp.take_along_axis(cand_len, top_sel, axis=1), 0)
 
-    # --- gather fixed-size point windows (small gathers: K x P) ------------
+    # --- gather fixed-size point windows (small gathers: B x K x P) --------
     # Runs larger than the window are stride-subsampled across their whole
     # extent (a truncated window would cover only the top of a big tag's
     # boundary and starve the quad fitter's bottom edges).
-    offs = jnp.arange(cluster_points, dtype=jnp.int32)[None, :]  # [1, P]
-    cnt = top_count[:, None]
-    strided = top_start[:, None] + (offs * cnt) // cluster_points
-    direct = top_start[:, None] + offs
-    widx = jnp.where(cnt > cluster_points, strided, direct)  # [K, P]
+    offs = jnp.arange(cluster_points, dtype=jnp.int32)[None, None, :]
+    cnt = top_count[:, :, None]  # [B, K, 1]
+    strided = top_start[:, :, None] + (offs * cnt) // cluster_points
+    direct = top_start[:, :, None] + offs
+    widx = jnp.where(cnt > cluster_points, strided, direct)  # [B, K, P]
     idx_c = jnp.clip(widx, 0, n - 1)
     in_seg = (offs < cnt) & (widx < n)
 
-    x2, y2, dir_idx, p_white = _unpack_payload(s_payload[idx_c])
+    x2, y2, dir_idx, p_white = _unpack_payload(
+        rowsel_gather_batched(s_payload, idx_c))
     # dir 0 = (0, 1), dir 1 = (1, 0): a select beats a gather from a
     # 2-element table (tiny-constant gathers measured ~0.8 ms here).
     dx = jnp.where(dir_idx == 0, 1, 0)
@@ -443,14 +506,84 @@ def cluster_candidates(
     py = y2.astype(jnp.float32) * jnp.float32(0.5)
     pgx = (sign * dx).astype(jnp.float32)
     pgy = (sign * dy).astype(jnp.float32)
-    points = jnp.stack([px, py, pgx, pgy], axis=0)  # [4, K, P] channel-first
-    points = jnp.where(in_seg[None], points, 0.0)
+    # [B, 4, K, P] channel-first per frame (see Clusters docstring)
+    points = jnp.stack([px, py, pgx, pgy], axis=1)
+    points = jnp.where(in_seg[:, None], points, 0.0)
 
     valid = top_count >= min_points
     if dropped is None:
-        dropped = jnp.int32(0)
+        dropped = jnp.zeros((b,), jnp.int32)
     return Clusters(points=points, mask=in_seg, count=top_count, valid=valid,
                     dropped=jnp.asarray(dropped, jnp.int32))
+
+
+def cluster_candidates(
+    black: jax.Array,
+    white: jax.Array,
+    payload: jax.Array,
+    max_points: int = MAX_EDGE_POINTS,
+    max_clusters: int = MAX_CLUSTERS,
+    cluster_points: int = MAX_CLUSTER_POINTS,
+    min_points: int = MIN_CLUSTER_POINTS,
+    dropped=None,
+    segment_backend: str | None = None,
+) -> Clusters:
+    """Single-frame ([n] inputs) wrapper over ``cluster_candidates_batched``
+    — identical results by construction (the fused sort is canonical, so a
+    frame's clusters don't depend on batch size or position)."""
+    out = cluster_candidates_batched(
+        black[None], white[None], payload[None],
+        max_points=max_points, max_clusters=max_clusters,
+        cluster_points=cluster_points, min_points=min_points,
+        dropped=None if dropped is None else jnp.asarray(dropped)[None],
+        segment_backend=segment_backend,
+    )
+    return jax.tree_util.tree_map(lambda x: x[0], out)
+
+
+def extract_and_compact(tern: jax.Array, labels: jax.Array,
+                        max_points: int = MAX_EDGE_POINTS):
+    """Boundary extraction + block-sparse compaction for ONE frame:
+    ``(black, white, payload, dropped)``, each candidate array ~2x
+    max_points long (or uncompacted when the frame is small enough).
+
+    The compaction rationale: the dominant cost of the cluster stage was a
+    512k-row sort; compacting to the occupied blocks first cuts the sort
+    (and every scan after it) toward max_points rows. Round 2 selected
+    2x max_points of blocks as slack for sparse-but-real border blocks;
+    shrinking it was measured NOT safe: 1.5x already drops noisy-scene
+    corpus detections (golden/aruco parity) and 1x loses adversarial
+    corner tags, so the 2x slack stays."""
+    black, white, payload = extract_boundary_points(tern, labels)
+    dropped = jnp.int32(0)
+    if black.shape[0] > max_points:
+        black, white, payload, dropped = _compact_blocks(
+            black, white, payload, 2 * max_points,
+            row_dilate=-(-tern.shape[1] // 128) + 1,
+        )
+    return black, white, payload, dropped
+
+
+def gradient_clusters_batched(
+    tern: jax.Array,
+    labels: jax.Array,
+    max_points: int = MAX_EDGE_POINTS,
+    max_clusters: int = MAX_CLUSTERS,
+    cluster_points: int = MAX_CLUSTER_POINTS,
+    min_points: int = MIN_CLUSTER_POINTS,
+) -> Clusters:
+    """Cluster boundary points for a BATCH of frames ([B, H, W] inputs):
+    per-frame extraction/compaction under vmap, then the fused batched
+    sort + tail (``cluster_candidates_batched``)."""
+    black, white, payload, dropped = jax.vmap(
+        partial(extract_and_compact, max_points=max_points)
+    )(tern, labels)
+    return cluster_candidates_batched(
+        black, white, payload,
+        max_points=max_points, max_clusters=max_clusters,
+        cluster_points=cluster_points, min_points=min_points,
+        dropped=dropped,
+    )
 
 
 @partial(
@@ -465,26 +598,14 @@ def gradient_clusters(
     cluster_points: int = MAX_CLUSTER_POINTS,
     min_points: int = MIN_CLUSTER_POINTS,
 ) -> Clusters:
-    """Cluster boundary points for ONE frame ([H, W] inputs); vmap over batch."""
-    black, white, payload = extract_boundary_points(tern, labels)
-    dropped = jnp.int32(0)
-
-    # --- block-sparse compaction: the dominant cost of this stage was a
-    # 512k-row sort; compacting to the occupied blocks first cuts the sort
-    # (and every scan after it) toward max_points rows. Round 2 selected
-    # 2x max_points of blocks as slack for sparse-but-real border blocks;
-    # shrinking it was measured NOT safe: 1.5x already drops noisy-scene
-    # corpus detections (golden/aruco parity) and 1x loses adversarial
-    # corner tags, so the 2x slack stays --------------------------------
-    if black.shape[0] > max_points:
-        black, white, payload, dropped = _compact_blocks(
-            black, white, payload, 2 * max_points,
-            row_dilate=-(-tern.shape[1] // 128) + 1,
-        )
-
-    return cluster_candidates(
-        black, white, payload,
-        max_points=max_points, max_clusters=max_clusters,
-        cluster_points=cluster_points, min_points=min_points,
-        dropped=dropped,
+    """Cluster boundary points for ONE frame ([H, W] inputs). Prefer
+    ``gradient_clusters_batched`` over vmapping this: the fused batch sort
+    is ~1.8x faster than per-frame sorts (results identical either way)."""
+    return jax.tree_util.tree_map(
+        lambda x: x[0],
+        gradient_clusters_batched(
+            tern[None], labels[None],
+            max_points=max_points, max_clusters=max_clusters,
+            cluster_points=cluster_points, min_points=min_points,
+        ),
     )

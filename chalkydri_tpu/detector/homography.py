@@ -127,8 +127,10 @@ def bilinear_sample(img: jax.Array, xy: jax.Array) -> jax.Array:
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0
     fy = y - y0
+    from chalkydri_tpu.ops.gather import rowsel_gather
+
     if img.dtype == jnp.uint32:  # packed 2x2 neighborhoods
-        word = img.reshape(-1)[y0 * w + x0]
+        word = rowsel_gather(img.reshape(-1), y0 * w + x0)
         v00 = (word & 0xFF).astype(jnp.float32)
         v01 = ((word >> 8) & 0xFF).astype(jnp.float32)
         v10 = ((word >> 16) & 0xFF).astype(jnp.float32)
@@ -137,10 +139,10 @@ def bilinear_sample(img: jax.Array, xy: jax.Array) -> jax.Array:
         x1 = jnp.minimum(x0 + 1, w - 1)
         y1 = jnp.minimum(y0 + 1, h - 1)
         flat = img.reshape(-1).astype(jnp.float32)
-        v00 = flat[y0 * w + x0]
-        v01 = flat[y0 * w + x1]
-        v10 = flat[y1 * w + x0]
-        v11 = flat[y1 * w + x1]
+        v00 = rowsel_gather(flat, y0 * w + x0)
+        v01 = rowsel_gather(flat, y0 * w + x1)
+        v10 = rowsel_gather(flat, y1 * w + x0)
+        v11 = rowsel_gather(flat, y1 * w + x1)
     top = v00 * (1 - fx) + v01 * fx
     bot = v10 * (1 - fx) + v11 * fx
     return top * (1 - fy) + bot * fy

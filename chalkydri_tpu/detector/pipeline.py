@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from chalkydri_tpu.detector.cluster import (
     MAX_CLUSTER_POINTS,
     MAX_CLUSTERS,
-    gradient_clusters,
+    gradient_clusters_batched,
 )
 from chalkydri_tpu.detector.decode import make_decoder
 from chalkydri_tpu.detector.families import (
@@ -242,19 +242,19 @@ def make_detector(
         max_quad_candidates=max_quad_candidates,
     )
 
-    def detect_one(gray, tern, labels):
-        clusters = gradient_clusters(
+    @jax.jit
+    def detect(gray_batch):
+        """gray_batch: [B, H, W] uint8 -> Detections (leading dim B)."""
+        tern, labels = preprocess(gray_batch)
+        # Clustering runs BATCHED (one fused sort + batch-folded gathers
+        # across all frames — ~1.8x over a vmapped per-frame sort);
+        # extraction and the post-cluster tail stay per-frame under vmap.
+        clusters = gradient_clusters_batched(
             tern, labels,
             max_points=edge_cap,
             max_clusters=max_clusters,
             cluster_points=cluster_points,
         )
-        return finish(gray, clusters)
-
-    @jax.jit
-    def detect(gray_batch):
-        """gray_batch: [B, H, W] uint8 -> Detections (leading dim B)."""
-        tern, labels = preprocess(gray_batch)
-        return jax.vmap(detect_one)(gray_batch, tern, labels)
+        return jax.vmap(finish)(gray_batch, clusters)
 
     return detect

@@ -29,8 +29,8 @@ import jax.numpy as jnp
 from chalkydri_tpu.detector.homography import bilinear_sample
 from chalkydri_tpu.detector.quad import _intersect, _line_fit
 
-N_SAMPLES = 12  # points per edge
-N_WALK = 13  # samples along the normal
+N_SAMPLES = 8  # points per edge
+N_WALK = 9  # samples along the normal
 WALK_RANGE = 2.0  # pixels each side
 
 

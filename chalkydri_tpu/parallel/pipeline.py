@@ -134,7 +134,7 @@ def _make_spatial_step(
         MAX_CLUSTERS,
         MAX_EDGE_POINTS,
         MIN_CLUSTER_POINTS,
-        cluster_candidates,
+        cluster_candidates_batched,
         extract_boundary_points,
         select_blocks,
     )
@@ -189,7 +189,7 @@ def _make_spatial_step(
     n_space = mesh.shape["space"]
 
     cluster_fn = partial(
-        cluster_candidates,
+        cluster_candidates_batched,
         max_points=edge_cap, max_clusters=max_clusters,
         cluster_points=cluster_points, min_points=MIN_CLUSTER_POINTS,
     )
@@ -321,9 +321,7 @@ def _make_spatial_step(
         # -- 6. cluster -> quad -> refine -> decode (replicated over
         # 'space'; the full-resolution frame is re-assembled over ICI for
         # the sub-pixel sampling stages) ------------------------------------
-        clusters = jax.vmap(
-            lambda b_, w_, p_, d_: cluster_fn(b_, w_, p_, dropped=d_)
-        )(black, white, payload, dropped)
+        clusters = cluster_fn(black, white, payload, dropped=dropped)
         gray_full = jax.lax.all_gather(frames_blk, "space", axis=1, tiled=True)
         dets = jax.vmap(finish)(gray_full, clusters)
 

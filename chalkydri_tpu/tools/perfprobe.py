@@ -251,17 +251,27 @@ def main() -> None:
     probe("extract_compact", extract_compact, (tern, labels))
     black, white, payload, dropped = jax.jit(extract_compact)(tern, labels)
 
-    # ---- stage 3a: the hash + sort alone (the historical dominant line) --
-    def hash_sort(black, white, payload):
-        def one(b, w, p):
-            invalid = b == _INT_MAX
-            key = (b * jnp.int32(-1640531527)) ^ (w * jnp.int32(-2048144789))
-            key = key & 0x3FFFFFFF
-            key = jnp.where(invalid, _INT_MAX, key)
-            return jax.lax.sort((key, p), dimension=0, is_stable=False,
-                                num_keys=1)
+    # ---- stage 3a: the hash + sort alone (the historical dominant line).
+    # Production fuses the whole batch into ONE canonical 2-key sort with
+    # the frame index in the key's high bits (cluster_candidates_batched);
+    # this probe mirrors it exactly --------------------------------------
+    from chalkydri_tpu.detector.cluster import HASH_BITS, _HASH_MASK
 
-        return jax.vmap(one)(black, white, payload)
+    def hash_sort(black, white, payload):
+        bsz = black.shape[0]
+        invalid = black == _INT_MAX
+        key = (black * jnp.int32(-1640531527)) ^ (
+            white * jnp.int32(-2048144789))
+        key = key & _HASH_MASK
+        key = jnp.where(key == _HASH_MASK, _HASH_MASK - 1, key)
+        key = jnp.where(invalid, _HASH_MASK, key)
+        fused = key | (jnp.arange(bsz, dtype=jnp.int32) << HASH_BITS)[:, None]
+        sk, sp = jax.lax.sort(
+            (fused.reshape(-1), payload.reshape(-1)),
+            dimension=0, is_stable=False, num_keys=2)
+        sk = sk.reshape(bsz, -1) & _HASH_MASK
+        sk = jnp.where(sk == _HASH_MASK, _INT_MAX, sk)
+        return sk, sp.reshape(bsz, -1)
 
     probe("cluster_sort", hash_sort, (black, white, payload))
 
@@ -311,12 +321,13 @@ def main() -> None:
         probe("segment_stats_pallas", seg_kernel, (s_key, s_payload))
     probe("segment_stats_jnp", seg_scans, (s_key, s_payload))
 
-    # ---- stage 3: the whole cluster stage, both backends, with parity ----
+    # ---- stage 3: the whole cluster stage (production = the BATCHED fused
+    # path), both backends, with parity ------------------------------------
+    from chalkydri_tpu.detector.cluster import cluster_candidates_batched
+
     def clust(backend, black, white, payload):
-        return jax.vmap(
-            lambda b, w, p: cluster_candidates(b, w, p,
-                                               segment_backend=backend)
-        )(black, white, payload)
+        return cluster_candidates_batched(
+            black, white, payload, segment_backend=backend)
 
     for backend in ("jnp", None):  # None = platform default
         label = backend or "auto"

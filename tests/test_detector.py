@@ -103,6 +103,76 @@ class TestSegment:
 
 
 class TestClusterQuad:
+    def test_batched_clusters_canonical_across_batch_composition(self):
+        """The fused batch sort is CANONICAL (lexicographic on
+        (frame | hash, payload), payload unique per candidate), so a
+        frame's clusters must be bit-identical whether it is clustered
+        alone, batched with another frame, or at a different batch
+        position — this is what keeps the spatially-sharded path (local
+        batch = per-shard frames) exactly consistent with the
+        single-device path (local batch = all frames)."""
+        from chalkydri_tpu.detector.cluster import gradient_clusters_batched
+
+        scenes = [
+            simple_scene(FAM, [(7, axis_aligned_corners(450, 240, 80))])[0],
+            simple_scene(FAM, [(1, axis_aligned_corners(200, 160, 60)),
+                               (9, axis_aligned_corners(440, 320, 70))],
+                         noise=6.0)[0],
+        ]
+        batch = jnp.stack([jnp.asarray(s) for s in scenes])
+        tern = adaptive_threshold(batch)
+        labels = label_components(tern)
+
+        both = gradient_clusters_batched(tern, labels)
+        swapped = gradient_clusters_batched(tern[::-1], labels[::-1])
+        for b in range(2):
+            solo = gradient_clusters(tern[b], labels[b])
+            assert int(solo.valid.sum()) >= 1
+            for name in ("points", "mask", "count", "valid"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(solo, name)),
+                    np.asarray(getattr(both, name))[b],
+                    err_msg=f"batched[{b}].{name} != solo")
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(solo, name)),
+                    np.asarray(getattr(swapped, name))[1 - b],
+                    err_msg=f"swapped[{1 - b}].{name} != solo")
+
+    def test_rowsel_gather_matches_plain_indexing(self):
+        """ops/gather.py rowsel paths vs plain ``table[idx]`` — all dtypes
+        and shapes used by the detector, plus the unaligned fallback."""
+        import jax
+
+        from chalkydri_tpu.ops.gather import (
+            rowsel_gather,
+            rowsel_gather_batched,
+        )
+
+        rng = np.random.default_rng(7)
+        for dtype in (np.int32, np.uint32, np.float32):
+            table = jnp.asarray(
+                rng.integers(0, 1 << 20, size=1024).astype(dtype))
+            idx = jnp.asarray(
+                rng.integers(0, 1024, size=(3, 5)).astype(np.int32))
+            np.testing.assert_array_equal(
+                np.asarray(jax.jit(rowsel_gather)(table, idx)),
+                np.asarray(table)[np.asarray(idx)])
+        # unaligned table -> fallback path
+        table = jnp.asarray(rng.integers(0, 99, size=100).astype(np.int32))
+        idx = jnp.asarray(rng.integers(0, 100, size=17).astype(np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(rowsel_gather(table, idx)),
+            np.asarray(table)[np.asarray(idx)])
+        # batched with batch folded into rows
+        tables = jnp.asarray(
+            rng.integers(0, 1 << 20, size=(4, 512)).astype(np.int32))
+        idx = jnp.asarray(
+            rng.integers(0, 512, size=(4, 6, 2)).astype(np.int32))
+        got = np.asarray(jax.jit(rowsel_gather_batched)(tables, idx))
+        want = np.stack([np.asarray(tables[b])[np.asarray(idx[b])]
+                         for b in range(4)])
+        np.testing.assert_array_equal(got, want)
+
     def test_segment_kernel_backend_bit_identical(self):
         """The fused Pallas segment-stats kernel (TPU backend of
         cluster_candidates' run-length segmentation) must produce
