@@ -330,6 +330,17 @@ def _make_fused_kernel(h, w, iters, min_diff):
     return kernel
 
 
+def _vmem_limit_bytes(h: int, w: int) -> int:
+    """Scoped-VMEM budget for a whole-frame kernel block: ~96 B per
+    LANE-PADDED pixel (the measured live set is ~88 B/px at 652x800 —
+    that frame compiles and runs at a 48 MB cap on v5e; margin on top),
+    floored at the historical 24 MB setting. v5e executes 48 MB scoped
+    budgets fine; the cap grows only with frame size, and frames beyond
+    SINGLE_BLOCK_MAX_PIXELS take the row-blocked path instead."""
+    wp = -(-w // 128) * 128
+    return max(24 * 1024 * 1024, h * wp * 96)
+
+
 @partial(jax.jit, static_argnames=("iters", "interpret"))
 def label_components_pallas(tern: jax.Array, iters: int = 12,
                             interpret: bool = False) -> jax.Array:
@@ -346,6 +357,9 @@ def label_components_pallas(tern: jax.Array, iters: int = 12,
             (None, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes(h, w)
+        ),
         interpret=interpret,
     )(tern)
 
@@ -372,10 +386,10 @@ def threshold_ccl_pallas(gray: jax.Array, iters: int = 12, min_diff: int = 5,
             jax.ShapeDtypeStruct((b, h, w), jnp.int32),
             jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
         ),
-        # The fused kernel's live set sits ~0.4 MB over the default 16 MB
-        # scoped-vmem budget; raise the cap slightly (v5e leaves headroom).
+        # The kernel's live set scales with the frame (~88 B per padded
+        # pixel measured at 652x800); size the scoped-vmem cap to match.
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024
+            vmem_limit_bytes=_vmem_limit_bytes(h, w)
         ),
         interpret=interpret,
     )(gray)
@@ -387,11 +401,14 @@ def threshold_ccl_pallas(gray: jax.Array, iters: int = 12, min_diff: int = 5,
 # ---------------------------------------------------------------------------
 #
 # The fused single-block kernel needs the whole frame resident in VMEM
-# (~45-64 B/pixel live set); beyond ~270k pixels it blows the scoped-VMEM
-# budget (e.g. 656x896 needs 26.75 MB) and Mosaic compile times explode.
-# For the reference's deployed 1600x1304 geometry (chalkydri.ron:7-9) at
-# quad_decimate=1 — and any megapixel frame — the frame is split into
-# aligned ROW BLOCKS:
+# (~88-96 B/padded-pixel live set). With the scoped-VMEM cap sized to the
+# frame (_vmem_limit_bytes), v5e (128 MB VMEM) executes single-block
+# frames up to ~1.03M pixels — the reference's deployed 1600x1304
+# geometry at quad_decimate=2 (652x800) runs single-block at 0.97 ms vs
+# 1.84 ms blocked, and 800x1280 (quad_decimate=1 for 1280x800 cameras)
+# at 1.77 ms vs 4.74 ms (batch-2, RTT-corrected). Beyond that (full-res
+# megapixel frames, e.g. 1304x1600 = 2.09M px) the live set exceeds
+# VMEM, and the frame is split into aligned ROW BLOCKS:
 #
 #   1. jnp adaptive threshold over the full frame (stencil ops, HBM-bound,
 #      no VMEM pressure),
@@ -406,14 +423,34 @@ def threshold_ccl_pallas(gray: jax.Array, iters: int = 12, min_diff: int = 5,
 # parallel/sharded_stages.py does the same merge over ICI seams between
 # chips; here the seams are VMEM block boundaries on one core.
 
-SINGLE_BLOCK_MAX_PIXELS = 270_000  # fused single-block kernel budget (v5e)
-_BLOCK_PIXEL_BUDGET = 256 * 1024  # per-block pixels for the blocked path
+# Validated on-device (v5e has 128 MB VMEM; the scoped cap is sized per
+# frame by _vmem_limit_bytes): 652x800 (521,600 px) runs at a 48 MB cap,
+# partition-identical to the blocked path, 1.9x faster; 800x1280
+# (1,024,000 px — the quad_decimate=1 path for 1280x800 cameras) runs at
+# a 100 MB cap, bitwise equal to the jnp path, 2.7x faster than blocked
+# (1.77 vs 4.74 ms batch-2). Beyond ~1.03M px (e.g. full-res 1600x1304,
+# 2.09M px -> a ~200 MB live set) the frame must be blocked.
+SINGLE_BLOCK_MAX_PIXELS = 1_030_000  # fused single-block kernel budget (v5e)
+_BLOCK_PIXEL_BUDGET = 512 * 1024  # per-block pixels for the blocked path
 
 
 def _pick_block_rows(h: int, wp: int) -> int:
-    """Largest 8-multiple row count whose block fits the VMEM budget."""
-    hb = max(8, (_BLOCK_PIXEL_BUDGET // wp) // 8 * 8)
-    return min(h, hb)
+    """Balanced block height: the smallest block COUNT whose even split
+    (rounded up to an 8-multiple) fits the per-block pixel budget.
+
+    Fewer blocks need fewer seam-merge rounds, and balancing the split
+    avoids padding dead rows: the old densest-fit rule gave the deployed
+    1600x1304 geometry at quad_decimate=2 (800x656 after padding) blocks
+    of 392 rows -> 3 blocks padded to 1176 rows, 47% wasted VPU work; the
+    balanced split is 3x272 = 816 rows. Padded rows are 'skip' pixels but
+    the fixed-shape kernel still runs every propagation round over them.
+    """
+    max_hb = max(8, (_BLOCK_PIXEL_BUDGET // wp) // 8 * 8)
+    if h <= max_hb:
+        return h
+    k = -(-h // max_hb)
+    hb = -(-h // k)  # balanced rows per block; its 8-multiple <= max_hb
+    return (hb + 7) // 8 * 8
 
 
 def _make_prop_kernel(h, w, iters):
@@ -487,7 +524,7 @@ def _blocked_propagate(tern, labels, hb, iters, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * k, hb, w), jnp.int32),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024
+            vmem_limit_bytes=_vmem_limit_bytes(hb, w)
         ),
         interpret=interpret,
     )(tern.reshape(b * k, hb, w), labels.reshape(b * k, hb, w))

@@ -977,3 +977,146 @@ class TestAdversarialCapacity:
         valid = np.asarray(out.valid[0])
         assert 2 in np.asarray(out.ids[0])[valid]
         assert int(out.dropped_points[0]) == 0
+
+
+class TestBlockRowPicker:
+    """Balanced block-height choice for the row-blocked CCL
+    (ops/pallas/ccl_kernel._pick_block_rows): the block count is the
+    smallest that fits the per-block pixel budget, and the split is
+    balanced — the old densest-fit rule padded the deployed 1600x1304
+    geometry at quad_decimate=2 (800 rows) to 3x392 = 1176 rows, 47%
+    dead VPU work per propagation round."""
+
+    def test_budget_and_balance(self):
+        from chalkydri_tpu.ops.pallas.ccl_kernel import (
+            _BLOCK_PIXEL_BUDGET,
+            _pick_block_rows,
+        )
+
+        for h, wp in [(800, 656), (1304, 1600), (800, 1280), (652, 800),
+                      (400, 640), (240, 320), (1304, 1664), (8, 128),
+                      (4096, 256)]:
+            hb = _pick_block_rows(h, wp)
+            k = -(-h // hb)
+            if h > hb:
+                assert hb % 8 == 0
+                assert hb * wp <= _BLOCK_PIXEL_BUDGET
+                # balanced: removing one block cannot still cover h
+                assert (k - 1) * hb < h
+                # minimal count: one fewer block would blow the budget
+                hb_fewer = (-(-h // (k - 1)) + 7) // 8 * 8 if k > 1 else None
+                if hb_fewer is not None:
+                    assert hb_fewer * wp > _BLOCK_PIXEL_BUDGET
+                # padding waste is less than one block
+                assert k * hb - h < hb
+            else:
+                assert hb == h
+
+    def test_deployed_geometry_padding_drop(self):
+        from chalkydri_tpu.ops.pallas.ccl_kernel import _pick_block_rows
+
+        hb = _pick_block_rows(800, 656)
+        k = -(-800 // hb)
+        assert k * hb <= 816  # was 1176 under the densest-fit rule
+
+
+class TestSingleBlockLargeFrame:
+    """On-TPU validation that the fused single-block kernel covers the
+    deployed 1600x1304 geometry at quad_decimate=2 (652x800, under the
+    raised SINGLE_BLOCK_MAX_PIXELS). Two distinct equivalences:
+
+    - at the production iteration CAP the kernel is a bitwise drop-in for
+      the jnp path (same algorithm, same rounds — what the hardware-free
+      suite validates end-to-end at this geometry on CPU);
+    - at full convergence (the cap is a latency bound, the while_loop is
+      convergence-gated) its PARTITION equals the blocked path's, whose
+      seam-merge loop always runs to the global fixed point. Comparing the
+      two paths at unequal effective budgets is meaningless on scenes that
+      need more than `iters` rounds — noise speckle converges late even
+      though tag borders settle in a few rounds.
+
+    Compiled-kernel test: runs only on real TPU
+    (CHALKYDRI_TEST_PLATFORM=axon); interpret mode at this size is
+    impractically slow on CPU."""
+
+    def test_single_block_kernel_drop_in_at_652x800(self):
+        import jax
+
+        if jax.devices()[0].platform in ("cpu", "gpu"):
+            pytest.skip("compiled Pallas kernel: real TPU only")
+        from chalkydri_tpu.ops.pallas.ccl_kernel import (
+            SINGLE_BLOCK_MAX_PIXELS,
+            threshold_ccl_blocked,
+            threshold_ccl_pallas,
+        )
+
+        h, w = 652, 800
+        assert h * w <= SINGLE_BLOCK_MAX_PIXELS
+        canvas, _ = simple_scene(
+            FAM,
+            [(5, axis_aligned_corners(320, 240, 90)),
+             (9, axis_aligned_corners(560, 420, 60))],
+            size=(h, w),
+            noise=6.0,
+        )
+        g = jnp.asarray(canvas)[None]
+
+        # (a) bitwise drop-in for the jnp path at the production cap
+        tern_s, lab_s = jax.jit(threshold_ccl_pallas)(g)
+        tern_j = adaptive_threshold(g)
+        lab_j = label_components(tern_j, iters=12)
+        np.testing.assert_array_equal(np.asarray(tern_s), np.asarray(tern_j))
+        np.testing.assert_array_equal(np.asarray(lab_s), np.asarray(lab_j))
+
+        # (b) partition parity with the blocked path at full convergence.
+        # On a CLEAN scene both reach their fixed point well inside the
+        # cap (verified via labels_converged); on heavy noise the
+        # single-block path needs ~2 serpentine bends per round while the
+        # blocked merge loop gets a far larger effective budget, so a
+        # fixed-cap comparison there compares budgets, not algorithms.
+        clean, _ = simple_scene(
+            FAM,
+            [(5, axis_aligned_corners(320, 240, 90)),
+             (9, axis_aligned_corners(560, 420, 60))],
+            size=(h, w),
+        )
+        gc_ = jnp.asarray(clean)[None]
+        tern_c, lab_c = jax.jit(
+            lambda x: threshold_ccl_pallas(x, iters=64))(gc_)
+        tern_b, lab_b = jax.jit(
+            lambda x: threshold_ccl_blocked(x, iters=64, merge_rounds=64))(gc_)
+        assert bool(labels_converged(tern_c, lab_c))
+        tc, tb = np.asarray(tern_c)[0], np.asarray(tern_b)[0]
+        np.testing.assert_array_equal(tc, tb)
+        valid = tc != 127
+        assert TestBlockedCCL._partitions_equal(
+            np.asarray(lab_c)[0], np.asarray(lab_b)[0], valid)
+
+    def test_single_block_kernel_drop_in_at_800x1280(self):
+        """The quad_decimate=1 geometry for 1280x800 cameras (1.024M px,
+        ~100 MB scoped VMEM on v5e) — bitwise drop-in for the jnp path at
+        the production cap."""
+        import jax
+
+        if jax.devices()[0].platform in ("cpu", "gpu"):
+            pytest.skip("compiled Pallas kernel: real TPU only")
+        from chalkydri_tpu.ops.pallas.ccl_kernel import (
+            SINGLE_BLOCK_MAX_PIXELS,
+            threshold_ccl_pallas,
+        )
+
+        h, w = 800, 1280
+        assert h * w <= SINGLE_BLOCK_MAX_PIXELS
+        canvas, _ = simple_scene(
+            FAM,
+            [(3, axis_aligned_corners(640, 400, 120)),
+             (11, axis_aligned_corners(1050, 620, 70))],
+            size=(h, w),
+            noise=6.0,
+        )
+        g = jnp.asarray(canvas)[None]
+        tern_s, lab_s = jax.jit(threshold_ccl_pallas)(g)
+        tern_j = adaptive_threshold(g)
+        lab_j = label_components(tern_j, iters=12)
+        np.testing.assert_array_equal(np.asarray(tern_s), np.asarray(tern_j))
+        np.testing.assert_array_equal(np.asarray(lab_s), np.asarray(lab_j))

@@ -240,7 +240,7 @@ class TestNT4Resilience:
             try:
                 # Publishes resume without any caller-side action; the
                 # retained Version topic reappears without a re-publish.
-                deadline = time.time() + 10
+                deadline = time.time() + 30
                 while time.time() < deadline and (
                     srv2.values.get("/Chalkydri/Robot/Rotation") != 1.5
                 ):
@@ -291,7 +291,7 @@ class TestNT4Resilience:
             assert not c.connected
             srv = _start_server_on(port)
             try:
-                deadline = time.time() + 10
+                deadline = time.time() + 30
                 while time.time() < deadline and (
                     srv.values.get("/Chalkydri/Robot/Rotation") != 0.25
                 ):
@@ -361,12 +361,12 @@ class TestNT4Resilience:
         c = NT4Client("127.0.0.1", port, identity="fuzzee",
                       backoff_initial=0.05).start()
         try:
-            assert served.wait(5), "fuzz server never ran"
+            assert served.wait(30), "fuzz server never ran"  # generous: CI hosts run compiles concurrently
             # Reader survived the barrage; after the evil server closes, a
             # sane server on the same port gets a clean reconnect.
             srv = _start_server_on(port)
             try:
-                deadline = time.time() + 10
+                deadline = time.time() + 30
                 while time.time() < deadline and (
                     srv.values.get("/recovered") != 1.0
                 ):
