@@ -465,6 +465,111 @@ def _make_prop_kernel(h, w, iters):
     return kernel
 
 
+def _make_fused_blocked_kernel(hb, wp, k, h_true, w_true, iters, min_diff):
+    """Round-0 kernel for the blocked path: gray block -> (labels, tern).
+
+    The adaptive threshold runs block-locally on the VMEM-resident gray
+    (same tile semantics as the single-block fused kernel), with two
+    corrections that make it bit-identical to the full-frame jnp
+    ``adaptive_threshold``:
+
+    - pixels beyond the TRUE image extent (lane/row padding) enter the
+      tile stats as neutral elements (255 for min, 0 for max) — exactly
+      the reduce_window init padding the jnp path sees at image edges —
+      and classify to 'skip';
+    - the 3x3-tile dilation's missing row at each block seam is supplied
+      by the host: ``nbr_ref`` carries the neighbor block's col-dilated
+      edge tile-stat rows (rows 0-3 = min_top, max_top, min_bot,
+      max_bot at pixel lane resolution), min/max-folded into the local
+      dilation for the block's first/last pixel-tile row. Separability
+      of the 3x3 min/max makes the fold exact.
+
+    Labels initialize in-kernel to the pixel's flat index in the PADDED
+    frame (block index from ``pl.program_id``), matching
+    ``label_components_blocked_pallas``'s global initialization.
+    """
+    offsets = list(_OFFSETS_ALL) + list(_OFFSETS_WHITE)
+
+    def kernel(gray_ref, nbr_ref, labels_ref, tern_ref):
+        blk = pl.program_id(0) % k
+        g = gray_ref[:].astype(jnp.int32)
+        nbr = nbr_ref[:]
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (hb, wp), 0)
+        col_idx = jax.lax.broadcasted_iota(jnp.int32, (hb, wp), 1)
+        grow = blk * hb + row_idx
+        valid_px = (col_idx < w_true) & (grow < h_true)
+        gmin = jnp.where(valid_px, g, jnp.int32(255))
+        gmax = jnp.where(valid_px, g, jnp.int32(0))
+        tmin = _tile_stat(gmin, "min", row_idx, col_idx, hb, wp)
+        tmax = _tile_stat(gmax, "max", row_idx, col_idx, hb, wp)
+        tmin = _neighborhood3_tiles(tmin, "min", row_idx, col_idx, hb, wp)
+        tmax = _neighborhood3_tiles(tmax, "max", row_idx, col_idx, hb, wp)
+        tmin = jnp.where(row_idx < 4, jnp.minimum(tmin, nbr[0:1, :]), tmin)
+        tmax = jnp.where(row_idx < 4, jnp.maximum(tmax, nbr[1:2, :]), tmax)
+        tmin = jnp.where(
+            row_idx >= hb - 4, jnp.minimum(tmin, nbr[2:3, :]), tmin)
+        tmax = jnp.where(
+            row_idx >= hb - 4, jnp.maximum(tmax, nbr[3:4, :]), tmax)
+        contrast = tmax - tmin
+        thresh = tmin + contrast // 2
+        val = jnp.where(g > thresh, jnp.int32(255), jnp.int32(0))
+        val = jnp.where(contrast < min_diff, jnp.int32(127), val)
+        val = jnp.where(valid_px, val, jnp.int32(127))
+        tern_ref[:] = val.astype(jnp.uint8)
+        gflat = grow * wp + col_idx
+        labels_ref[:] = _ccl_from_val(val, hb, wp, iters, offsets,
+                                      labels0=gflat)
+
+    return kernel
+
+
+def _blocked_boundary_rows(gray_p, h_true, w_true, hb):
+    """Host-side prep for the fused blocked kernel: for every block, the
+    col-dilated tile-stat rows it needs from its row neighbors, at pixel
+    lane resolution. gray_p [B, hp, wp] u8 (padded) -> [B*k, 8, wp] i32
+    (rows 0-3 = min_top, max_top, min_bot, max_bot; 4-7 unused padding to
+    the sublane tile). Tile-resolution work only — ~1/16 of the frame."""
+    b, hp, wp = gray_p.shape
+    k = hp // hb
+    tb = hb // 4
+    g = gray_p.astype(jnp.int32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, hp, wp), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, hp, wp), 2)
+    valid = (rows < h_true) & (cols < w_true)
+    gmin = jnp.where(valid, g, jnp.int32(255))
+    gmax = jnp.where(valid, g, jnp.int32(0))
+    # reduce_window, NOT the 5-D reshape reduction: a size-4 dim in the
+    # lane axis costs ~4x on v5e (docs/performance.md lesson sheet).
+    tile4 = dict(window_dimensions=(1, 4, 4), window_strides=(1, 4, 4),
+                 padding="VALID")
+    tmin = jax.lax.reduce_window(gmin, jnp.int32(255), jax.lax.min, **tile4)
+    tmax = jax.lax.reduce_window(gmax, jnp.int32(0), jax.lax.max, **tile4)
+    pad3 = [(0, 0), (0, 0), (1, 1)]
+    cmin = jax.lax.reduce_window(
+        tmin, jnp.int32(255), jax.lax.min, (1, 1, 3), (1, 1, 1), pad3)
+    cmax = jax.lax.reduce_window(
+        tmax, jnp.int32(0), jax.lax.max, (1, 1, 3), (1, 1, 1), pad3)
+
+    def pick(arr, idxs, fill, at_front):
+        sel = arr[:, idxs] if len(idxs) else jnp.zeros(
+            (b, 0, wp // 4), arr.dtype)
+        edge = jnp.full((b, 1, wp // 4), fill, arr.dtype)
+        parts = [edge, sel] if at_front else [sel, edge]
+        return jnp.concatenate(parts, axis=1)  # [b, k, wp/4]
+
+    top_idx = [i * tb - 1 for i in range(1, k)]
+    bot_idx = [(i + 1) * tb for i in range(k - 1)]
+    min_top = pick(cmin, top_idx, 255, True)
+    max_top = pick(cmax, top_idx, 0, True)
+    min_bot = pick(cmin, bot_idx, 255, False)
+    max_bot = pick(cmax, bot_idx, 0, False)
+    nbr = jnp.stack([min_top, max_top, min_bot, max_bot], axis=2)
+    nbr = jnp.repeat(nbr, 4, axis=-1)  # tile -> pixel lanes
+    nbr = jnp.concatenate(
+        [nbr, jnp.zeros_like(nbr)], axis=2)  # pad 4 -> 8 sublanes
+    return nbr.reshape(b * k, 8, wp)
+
+
 def _shift_row(x, dx, fill):
     """Shift [..., W] rows along the last axis with edge fill."""
     if dx == 0:
@@ -572,6 +677,16 @@ def label_components_blocked_pallas(
     )
     labels = jnp.where(valid, flat, INVALID)
     labels = _blocked_propagate(tern, labels, hb, iters, interpret)
+    labels = _merge_to_fixed_point(tern, labels, hb, iters, merge_rounds,
+                                   interpret)
+    return labels[:, :h, :w]
+
+
+def _merge_to_fixed_point(tern_p, labels, hb, iters, merge_rounds,
+                          interpret):
+    """Seam-merge + re-propagate until the global fixed point (or the
+    ``merge_rounds`` latency cap). Shared by the tern-input blocked CCL
+    and the fused gray-input path."""
 
     def cond(c):
         i, lab, changed = c
@@ -579,14 +694,14 @@ def label_components_blocked_pallas(
 
     def body(c):
         i, lab, _ = c
-        new = _blocked_propagate(tern, _seam_merge(lab, tern, hb), hb,
+        new = _blocked_propagate(tern_p, _seam_merge(lab, tern_p, hb), hb,
                                  iters, interpret)
         return i + 1, new, jnp.any(new != lab)
 
     _, labels, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), labels, jnp.bool_(True))
     )
-    return labels[:, :h, :w]
+    return labels
 
 
 @partial(jax.jit, static_argnames=("iters", "min_diff", "block_rows",
@@ -600,15 +715,58 @@ def threshold_ccl_blocked(
     interpret: bool = False,
 ):
     """Threshold + blocked CCL for frames beyond the single-block VMEM
-    budget. gray [B, H, W] u8 -> (tern u8, labels i32). The threshold runs
-    as fused jnp stencils over the full frame (HBM-bound, identical
-    semantics to detector.threshold.adaptive_threshold, which requires
-    4-multiple dims — pad first if needed)."""
-    from chalkydri_tpu.detector.threshold import adaptive_threshold
+    budget. gray [B, H, W] u8 (4-multiple dims — pad first if needed) ->
+    (tern u8, labels i32).
 
-    tern = adaptive_threshold(gray, min_diff=min_diff)
-    labels = label_components_blocked_pallas(
-        tern, iters=iters, block_rows=block_rows,
-        merge_rounds=merge_rounds, interpret=interpret,
-    )
-    return tern, labels
+    The adaptive threshold is FUSED into the round-0 block kernel (the
+    full-frame jnp threshold cost 0.94 ms at 1304x1600 batch-2): the host
+    prepares only tile-resolution boundary rows (_blocked_boundary_rows),
+    and each block computes its tile stats + dilation in VMEM with an
+    exact seam correction — bit-identical to
+    detector.threshold.adaptive_threshold (tested, incl. interpret mode).
+    Merge rounds then run on the kernel-produced tern exactly as before.
+    """
+    b, h, w = gray.shape
+    assert h % 4 == 0 and w % 4 == 0, "pad frames to 4-pixel multiples"
+    wp = (w + 127) // 128 * 128
+    hb = _pick_block_rows(h, wp) if block_rows is None else block_rows
+    assert hb % 4 == 0, "block_rows must be a 4-multiple (tile alignment)"
+    k = -(-h // hb)
+    hp = k * hb
+    if merge_rounds is None:
+        merge_rounds = 4 * k + 2
+    gray_p = gray
+    if hp != h or wp != w:
+        gray_p = jnp.pad(gray, ((0, 0), (0, hp - h), (0, wp - w)))
+
+    nbr = _blocked_boundary_rows(gray_p, h, w, hb)
+    kernel = _make_fused_blocked_kernel(hb, wp, k, h, w, iters, min_diff)
+    labels, tern = pl.pallas_call(
+        kernel,
+        grid=(b * k,),
+        in_specs=[
+            pl.BlockSpec((None, hb, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, hb, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, hb, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * k, hb, wp), jnp.int32),
+            jax.ShapeDtypeStruct((b * k, hb, wp), jnp.uint8),
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes(hb, wp)
+        ),
+        interpret=interpret,
+    )(gray_p.reshape(b * k, hb, wp), nbr)
+    labels = labels.reshape(b, hp, wp)
+    tern_p = tern.reshape(b, hp, wp)
+    labels = _merge_to_fixed_point(tern_p, labels, hb, iters, merge_rounds,
+                                   interpret)
+    return tern_p[:, :h, :w], labels[:, :h, :w]

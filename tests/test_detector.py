@@ -979,6 +979,64 @@ class TestAdversarialCapacity:
         assert int(out.dropped_points[0]) == 0
 
 
+class TestFusedBlockedThreshold:
+    """threshold_ccl_blocked fuses the adaptive threshold into the round-0
+    block kernel (host prepares only tile-resolution boundary rows). Must
+    be BITWISE identical to the composition it replaced:
+    adaptive_threshold + label_components_blocked_pallas."""
+
+    def test_bitwise_matches_jnp_threshold_plus_blocked_ccl(self):
+        from chalkydri_tpu.ops.pallas.ccl_kernel import (
+            label_components_blocked_pallas,
+            threshold_ccl_blocked,
+        )
+
+        rng = np.random.default_rng(11)
+        # Structured + noisy content crossing block seams; non-128 width
+        # exercises lane padding, non-block-multiple height exercises row
+        # padding. Dims are 4-multiples (the stage contract).
+        canvas, _ = simple_scene(
+            FAM,
+            [(2, axis_aligned_corners(100, 26, 36))],
+            size=(52, 200),
+            noise=8.0,
+        )
+        g = jnp.asarray(canvas)[None]
+        tern_f, lab_f = threshold_ccl_blocked(
+            g, iters=16, block_rows=24, merge_rounds=16, interpret=True)
+        tern_ref = adaptive_threshold(g)
+        lab_ref = label_components_blocked_pallas(
+            tern_ref, iters=16, block_rows=24, merge_rounds=16,
+            interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(tern_f), np.asarray(tern_ref))
+        np.testing.assert_array_equal(np.asarray(lab_f), np.asarray(lab_ref))
+
+    def test_flat_and_gradient_frames(self):
+        """Contrast-free frames are all 'skip'; a smooth gradient exercises
+        the tile-contrast gate across seams."""
+        from chalkydri_tpu.ops.pallas.ccl_kernel import (
+            label_components_blocked_pallas,
+            threshold_ccl_blocked,
+        )
+
+        flat = np.full((1, 32, 136), 150, np.uint8)
+        grad = np.tile(
+            np.linspace(0, 255, 136).astype(np.uint8), (32, 1))[None]
+        for frame in (flat, grad):
+            g = jnp.asarray(frame)
+            tern_f, lab_f = threshold_ccl_blocked(
+                g, iters=8, block_rows=16, merge_rounds=8, interpret=True)
+            tern_ref = adaptive_threshold(g)
+            lab_ref = label_components_blocked_pallas(
+                tern_ref, iters=8, block_rows=16, merge_rounds=8,
+                interpret=True)
+            np.testing.assert_array_equal(
+                np.asarray(tern_f), np.asarray(tern_ref))
+            np.testing.assert_array_equal(
+                np.asarray(lab_f), np.asarray(lab_ref))
+
+
 class TestBlockRowPicker:
     """Balanced block-height choice for the row-blocked CCL
     (ops/pallas/ccl_kernel._pick_block_rows): the block count is the
