@@ -541,11 +541,14 @@ def cluster_candidates(
     return jax.tree_util.tree_map(lambda x: x[0], out)
 
 
-def extract_and_compact(tern: jax.Array, labels: jax.Array,
-                        max_points: int = MAX_EDGE_POINTS):
-    """Boundary extraction + block-sparse compaction for ONE frame:
-    ``(black, white, payload, dropped)``, each candidate array ~2x
-    max_points long (or uncompacted when the frame is small enough).
+def compact_candidates(black: jax.Array, white: jax.Array,
+                       payload: jax.Array, width: int,
+                       max_points: int = MAX_EDGE_POINTS):
+    """Block-sparse compaction of a dense per-frame candidate array (the
+    jnp extraction's or the Pallas in-kernel emitter's — identical
+    layouts): ``(black, white, payload, dropped)``, each candidate array
+    ~2x max_points long (or untouched when the frame is small enough).
+    ``width`` is the frame width in pixels (sets the boost row dilation).
 
     The compaction rationale: the dominant cost of the cluster stage was a
     512k-row sort; compacting to the occupied blocks first cuts the sort
@@ -554,14 +557,22 @@ def extract_and_compact(tern: jax.Array, labels: jax.Array,
     shrinking it was measured NOT safe: 1.5x already drops noisy-scene
     corpus detections (golden/aruco parity) and 1x loses adversarial
     corner tags, so the 2x slack stays."""
-    black, white, payload = extract_boundary_points(tern, labels)
     dropped = jnp.int32(0)
     if black.shape[0] > max_points:
         black, white, payload, dropped = _compact_blocks(
             black, white, payload, 2 * max_points,
-            row_dilate=-(-tern.shape[1] // 128) + 1,
+            row_dilate=-(-width // 128) + 1,
         )
     return black, white, payload, dropped
+
+
+def extract_and_compact(tern: jax.Array, labels: jax.Array,
+                        max_points: int = MAX_EDGE_POINTS):
+    """Boundary extraction + block-sparse compaction for ONE frame (see
+    ``compact_candidates`` for the compaction rationale)."""
+    black, white, payload = extract_boundary_points(tern, labels)
+    return compact_candidates(black, white, payload, tern.shape[1],
+                              max_points=max_points)
 
 
 def gradient_clusters_batched(

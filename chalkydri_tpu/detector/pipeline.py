@@ -23,7 +23,9 @@ import jax.numpy as jnp
 from chalkydri_tpu.detector.cluster import (
     MAX_CLUSTER_POINTS,
     MAX_CLUSTERS,
-    gradient_clusters_batched,
+    cluster_candidates_batched,
+    compact_candidates,
+    extract_and_compact,
 )
 from chalkydri_tpu.detector.decode import make_decoder
 from chalkydri_tpu.detector.families import (
@@ -195,10 +197,14 @@ def make_detector(
         jax.devices()[0].platform not in ("cpu", "gpu")
         and os.environ.get("CHALKYDRI_NO_PALLAS") != "1"
     )
+    use_emitter = use_pallas and os.environ.get("CHALKYDRI_NO_EMITTER") != "1"
     if use_pallas:
         from chalkydri_tpu.ops.pallas.ccl_kernel import (
+            EXTRACT_BLOCK_MAX_PIXELS,
             SINGLE_BLOCK_MAX_PIXELS,
+            extract_kernel_compiles,
             threshold_ccl_blocked,
+            threshold_ccl_extract_pallas,
             threshold_ccl_pallas,
         )
 
@@ -216,9 +222,36 @@ def make_detector(
             tern = adaptive_threshold(small)
             return tern, label_components(tern, iters=ccl_iters)
 
+    from functools import partial as _partial
+
+    def candidates_fn(small):
+        """[B, h, w] decimated frames -> batched compacted candidate arrays
+        (black, white, payload, dropped). On TPU, frames within the VMEM
+        budget run the FULLY fused threshold+CCL+extraction kernel — tern
+        and labels never round-trip HBM and the extraction stencils run on
+        the VPU over VMEM-resident data (the jnp extract's 17 shifted
+        [h, w] intermediates were the stage's hidden cost). Larger frames
+        (and non-TPU backends) take the two-stage path; results are
+        bit-identical either way (tested)."""
+        h, w = small.shape[1], small.shape[2]
+        if (
+            use_emitter
+            and h * w <= EXTRACT_BLOCK_MAX_PIXELS
+            and extract_kernel_compiles()
+        ):
+            black, white, payload = threshold_ccl_extract_pallas(
+                small, iters=ccl_iters)
+            return jax.vmap(
+                _partial(compact_candidates, width=w, max_points=edge_cap)
+            )(black, white, payload)
+        tern, labels = threshold_label_fn(small)
+        return jax.vmap(
+            _partial(extract_and_compact, max_points=edge_cap)
+        )(tern, labels)
+
     def preprocess(gray_batch):
-        """Batch-level decimation + threshold + CCL (outside the per-frame
-        vmap so the Pallas kernel sees the whole batch as its grid)."""
+        """Batch-level decimation (outside the per-frame vmap so the Pallas
+        kernels see the whole batch as their grid)."""
         if quad_decimate == 2:
             h2 = (gray_batch.shape[1] // 8) * 8
             w2 = (gray_batch.shape[2] // 8) * 8
@@ -234,7 +267,7 @@ def make_detector(
             small = (s // 4).astype(jnp.uint8)
         else:
             small = gray_batch
-        return threshold_label_fn(small)
+        return small
 
     finish = make_post_cluster(
         decode, refine=refine, quad_decimate=quad_decimate,
@@ -245,15 +278,17 @@ def make_detector(
     @jax.jit
     def detect(gray_batch):
         """gray_batch: [B, H, W] uint8 -> Detections (leading dim B)."""
-        tern, labels = preprocess(gray_batch)
+        small = preprocess(gray_batch)
+        black, white, payload, dropped = candidates_fn(small)
         # Clustering runs BATCHED (one fused sort + batch-folded gathers
         # across all frames — ~1.8x over a vmapped per-frame sort);
         # extraction and the post-cluster tail stay per-frame under vmap.
-        clusters = gradient_clusters_batched(
-            tern, labels,
+        clusters = cluster_candidates_batched(
+            black, white, payload,
             max_points=edge_cap,
             max_clusters=max_clusters,
             cluster_points=cluster_points,
+            dropped=dropped,
         )
         return jax.vmap(finish)(gray_batch, clusters)
 

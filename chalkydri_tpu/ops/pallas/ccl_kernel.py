@@ -330,6 +330,152 @@ def _make_fused_kernel(h, w, iters, min_diff):
     return kernel
 
 
+def _extract_candidates(val, labels, h, w, row_idx, col_idx, dirs, min_same):
+    """In-kernel boundary-candidate extraction over the VMEM-resident
+    ternary image + converged labels: bit-identical to
+    ``cluster.extract_boundary_points`` (single-device case — no halos),
+    whose dense stencils otherwise re-run over HBM after the kernel wrote
+    tern/labels back. Returns per-direction (black, white, payload) lists;
+    flattened dir-major [2, h, w] this is exactly the jnp enumeration
+    order, so the downstream block compaction consumes it unchanged.
+
+    Sign convention: ``_shift_no_wrap(x, dy, dx)`` yields the neighbor at
+    offset (-dy, -dx) — the CCL never notices (its offset set is
+    symmetric) but extraction does, so fetch (dy, dx) neighbors by
+    negating."""
+
+    def nbr(x, dy, dx, fill):
+        return _shift_no_wrap(x, -dy, -dx, fill, row_idx, col_idx, h, w)
+
+    solid_cnt = jnp.zeros((h, w), jnp.int32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nv = nbr(val, dy, dx, jnp.int32(127))
+            solid_cnt = solid_cnt + (nv == val).astype(jnp.int32)
+    solid = solid_cnt >= min_same
+
+    blacks, whites, payloads = [], [], []
+    for di, (dy, dx) in enumerate(dirs):
+        nv = nbr(val, dy, dx, jnp.int32(127))
+        nl = nbr(labels, dy, dx, jnp.int32(0))
+        # fill 0 < min_same, matching the jnp path's shifted-False fill
+        ns = nbr(solid_cnt, dy, dx, jnp.int32(0)) >= min_same
+        pair_sum = val + nv
+        is_edge = (pair_sum == 255) & solid & ns
+        p_is_white = val == 255
+        black = jnp.where(p_is_white, nl, labels)
+        white = jnp.where(p_is_white, labels, nl)
+        blacks.append(jnp.where(is_edge, black, INVALID))
+        whites.append(jnp.where(is_edge, white, INVALID))
+        x2 = 2 * col_idx + dx
+        y2 = 2 * row_idx + dy
+        payloads.append(
+            (x2 & 0x1FFF)
+            | ((y2 & 0x1FFF) << 13)
+            | ((di & 0x3) << 26)
+            | (jnp.where(p_is_white, 1, 0) << 28)
+        )
+    return blacks, whites, payloads
+
+
+def _make_fused_extract_kernel(h, w, iters, min_diff):
+    """Threshold + CCL + boundary-candidate extraction in ONE kernel: gray
+    u8 in, dense (black, white, payload) candidate pages out. tern and
+    labels never leave VMEM — the detector's single-device hot path needs
+    only the candidates (cluster.py consumes them; nothing downstream reads
+    the label image)."""
+    from chalkydri_tpu.detector.cluster import _DIRS, MIN_SAME_NEIGHBORS
+
+    offsets = list(_OFFSETS_ALL) + list(_OFFSETS_WHITE)
+
+    def kernel(gray_ref, black_ref, white_ref, payload_ref):
+        g = gray_ref[:].astype(jnp.int32)
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        col_idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        tmin = _tile_stat(g, "min", row_idx, col_idx, h, w)
+        tmax = _tile_stat(g, "max", row_idx, col_idx, h, w)
+        tmin = _neighborhood3_tiles(tmin, "min", row_idx, col_idx, h, w)
+        tmax = _neighborhood3_tiles(tmax, "max", row_idx, col_idx, h, w)
+        contrast = tmax - tmin
+        thresh = tmin + contrast // 2
+        val = jnp.where(g > thresh, jnp.int32(255), jnp.int32(0))
+        val = jnp.where(contrast < min_diff, jnp.int32(127), val)
+        labels = _ccl_from_val(val, h, w, iters, offsets)
+        blacks, whites, payloads = _extract_candidates(
+            val, labels, h, w, row_idx, col_idx, _DIRS, MIN_SAME_NEIGHBORS
+        )
+        for di in range(len(_DIRS)):
+            black_ref[di] = blacks[di]
+            white_ref[di] = whites[di]
+            payload_ref[di] = payloads[di]
+
+    return kernel
+
+
+# Budget for the extract-fused kernel: its live set adds the solid stencil
+# and six [h, w] i32 candidate pages on top of the plain fused kernel's
+# (~88-96 B/px). Measured headroom determines the cap; conservative start
+# at the deployed decimate-2 geometry (652x800 = 521k px) which is the
+# production target for this path.
+EXTRACT_BLOCK_MAX_PIXELS = 540_000
+
+
+def _vmem_limit_bytes_extract(h: int, w: int) -> int:
+    wp = -(-w // 128) * 128
+    return max(24 * 1024 * 1024, min(h * wp * 152, 127 * 1024 * 1024))
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def extract_kernel_compiles() -> bool:
+    """One tiny Mosaic compile probe (cached per process, warm in the
+    persistent XLA compile cache across restarts): if this TPU backend
+    rejects the extract-fused kernel, the detector self-heals onto the
+    two-stage path instead of failing every pipeline build (same pattern
+    as the segment kernel's probe, detector/cluster.py)."""
+    try:
+        g = jnp.zeros((1, 8, 128), jnp.uint8)
+        threshold_ccl_extract_pallas.lower(g, iters=2).compile()
+        return True
+    except Exception:  # Mosaic/compile errors are backend-specific
+        return False
+
+
+@partial(jax.jit, static_argnames=("iters", "min_diff", "interpret"))
+def threshold_ccl_extract_pallas(gray: jax.Array, iters: int = 12,
+                                 min_diff: int = 5, interpret: bool = False):
+    """Fused threshold + CCL + candidate extraction. gray [B, H, W] u8
+    (H, W multiples of 4) -> (black, white, payload), each [B, 2*H*W] i32
+    in the exact dir-major enumeration order of
+    ``cluster.extract_boundary_points`` (bit-identical by test)."""
+    b, h, w = gray.shape
+    assert h % 4 == 0 and w % 4 == 0
+    kernel = _make_fused_extract_kernel(h, w, iters, min_diff)
+    out_spec = pl.BlockSpec((None, 2, h, w), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, 2, h, w), jnp.int32)
+    black, white, payload = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes_extract(h, w)
+        ),
+        interpret=interpret,
+    )(gray)
+    return (black.reshape(b, -1), white.reshape(b, -1),
+            payload.reshape(b, -1))
+
+
 def _vmem_limit_bytes(h: int, w: int) -> int:
     """Scoped-VMEM budget for a whole-frame kernel block: ~96 B per
     LANE-PADDED pixel (the measured live set is ~88 B/px at 652x800 —

@@ -422,6 +422,82 @@ class TestPallasCCL:
             )
             np.testing.assert_array_equal(out, ref)
 
+    def test_fused_extract_matches_jnp(self):
+        """The threshold+CCL+extract kernel's dense candidate arrays are
+        bit-identical to adaptive_threshold -> label_components ->
+        extract_boundary_points (interpret mode; compiled parity runs on
+        the real chip via test_fused_extract_kernel_on_device)."""
+        from chalkydri_tpu.detector.cluster import extract_boundary_points
+        from chalkydri_tpu.ops.pallas.ccl_kernel import (
+            threshold_ccl_extract_pallas,
+        )
+
+        for noise in (0.0, 8.0):
+            canvas, _ = simple_scene(
+                FAM, [(5, axis_aligned_corners(160, 120, 70))],
+                size=(240, 320), noise=noise,
+            )
+            g = jnp.asarray(canvas)[None]
+            tern = adaptive_threshold(g)
+            labels = label_components(tern, iters=12)
+            b_ref, w_ref, p_ref = extract_boundary_points(tern[0], labels[0])
+            b_out, w_out, p_out = threshold_ccl_extract_pallas(
+                g, iters=12, interpret=True
+            )
+            np.testing.assert_array_equal(np.asarray(b_out[0]),
+                                          np.asarray(b_ref))
+            np.testing.assert_array_equal(np.asarray(w_out[0]),
+                                          np.asarray(w_ref))
+            np.testing.assert_array_equal(np.asarray(p_out[0]),
+                                          np.asarray(p_ref))
+
+    def test_fused_extract_kernel_on_device(self):
+        """Compiled emitter parity on the real chip: (a) the kernel's
+        candidate arrays equal the jnp two-stage path's at the deployed
+        decimate-2 geometry; (b) a detector built WITH the emitter returns
+        identical Detections to one built without it."""
+        import os
+
+        import jax
+
+        if jax.devices()[0].platform in ("cpu", "gpu"):
+            pytest.skip("compiled Pallas kernel: real TPU only")
+        from chalkydri_tpu.detector.cluster import extract_boundary_points
+        from chalkydri_tpu.ops.pallas.ccl_kernel import (
+            EXTRACT_BLOCK_MAX_PIXELS,
+            threshold_ccl_extract_pallas,
+        )
+
+        h, w = 652, 800
+        assert h * w <= EXTRACT_BLOCK_MAX_PIXELS
+        canvas, _ = simple_scene(
+            FAM,
+            [(5, axis_aligned_corners(320, 240, 90)),
+             (9, axis_aligned_corners(560, 420, 60))],
+            size=(h, w),
+            noise=6.0,
+        )
+        g = jnp.asarray(canvas)[None]
+        tern = adaptive_threshold(g)
+        labels = label_components(tern, iters=12)
+        b_ref, w_ref, p_ref = extract_boundary_points(tern[0], labels[0])
+        b_out, w_out, p_out = threshold_ccl_extract_pallas(g, iters=12)
+        np.testing.assert_array_equal(np.asarray(b_out[0]), np.asarray(b_ref))
+        np.testing.assert_array_equal(np.asarray(w_out[0]), np.asarray(w_ref))
+        np.testing.assert_array_equal(np.asarray(p_out[0]), np.asarray(p_ref))
+
+        # (b) end-to-end: emitter detector == two-stage detector, compiled.
+        detect_em = make_detector()
+        os.environ["CHALKYDRI_NO_EMITTER"] = "1"
+        try:
+            detect_ref = make_detector()
+        finally:
+            del os.environ["CHALKYDRI_NO_EMITTER"]
+        out_em = detect_em(g)
+        out_ref = detect_ref(g)
+        for a, b in zip(out_em, out_ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestGrayscale:
     def test_formats(self):
