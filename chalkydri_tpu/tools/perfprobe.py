@@ -251,6 +251,28 @@ def main() -> None:
     probe("extract_compact", extract_compact, (tern, labels))
     black, white, payload, dropped = jax.jit(extract_compact)(tern, labels)
 
+    # ---- stage 1+2 fused: the in-kernel candidate emitter (what the
+    # production detector runs when the decimated frame fits the VMEM
+    # budget) — compare against threshold_ccl + extract_compact ----------
+    if use_pallas:
+        from chalkydri_tpu.detector.cluster import compact_candidates
+        from chalkydri_tpu.ops.pallas.ccl_kernel import (
+            EXTRACT_BLOCK_MAX_PIXELS,
+            threshold_ccl_extract_pallas,
+        )
+
+        if small.shape[1] * small.shape[2] <= EXTRACT_BLOCK_MAX_PIXELS:
+            w_small = small.shape[2]
+
+            def emit_compact(small):
+                bl, wh, pa = threshold_ccl_extract_pallas(small)
+                return jax.vmap(
+                    partial(compact_candidates, width=w_small)
+                )(bl, wh, pa)
+
+            probe("threshold_ccl_extract_compact (emitter)", emit_compact,
+                  (small,))
+
     # ---- stage 3a: the hash + sort alone (the historical dominant line).
     # Production fuses the whole batch into ONE canonical 2-key sort with
     # the frame index in the key's high bits (cluster_candidates_batched);

@@ -811,6 +811,69 @@ class TestBlockedCCL:
         assert (blk[~valid] == K_INVALID).all()
         assert self._partitions_equal(ref, blk, valid)
 
+    @staticmethod
+    def _serpentine(h, w, stripes):
+        """White snake zig-zagging across every block seam: vertical
+        stripes joined alternately at the top and bottom row. The min
+        label's propagation path crosses ~stripes * (k-1) seams — the
+        topology class the legacy merge loop needs O(path-crossings)
+        rounds for and the union-find merge resolves in one."""
+        tern = np.full((h, w), 127, np.uint8)
+        cols = np.linspace(2, w - 3, stripes).astype(int)
+        for c in cols:
+            tern[:, c] = 255
+        for i in range(len(cols) - 1):
+            row = 0 if i % 2 == 0 else h - 1
+            tern[row, cols[i]:cols[i + 1] + 1] = 255
+        return tern
+
+    def test_twophase_merge_matches_rounds_bitwise(self):
+        """The two-phase merge returns BITWISE the same labels as the
+        default merge-round loop at full convergence (the claim in
+        label_components_blocked_pallas's docstring), on both a random
+        ternary field and a seam-crossing serpentine."""
+        from chalkydri_tpu.ops.pallas.ccl_kernel import (
+            label_components_blocked_pallas,
+        )
+
+        rng = np.random.default_rng(11)
+        rand = rng.choice(
+            [0, 127, 255], size=(1, 96, 160), p=[0.35, 0.3, 0.35]
+        ).astype(np.uint8)
+        serp = self._serpentine(96, 160, 6)[None]
+        for tern_np in (rand, serp):
+            tern = jnp.asarray(tern_np)
+            kw = dict(iters=16, block_rows=24, merge_rounds=64,
+                      interpret=True)
+            uf = np.asarray(label_components_blocked_pallas(
+                tern, merge="twophase", **kw))
+            rd = np.asarray(label_components_blocked_pallas(
+                tern, merge="rounds", **kw))
+            np.testing.assert_array_equal(uf, rd)
+
+    def test_twophase_serpentine_exact_at_default_cap(self):
+        """A serpentine whose min-label path crosses ~340 seams (far past
+        what the default merge_rounds cap 4*k+2 = 50 bounds for the
+        rounds-mode loop) still yields the exact scipy partition with the
+        two-phase merge at its default cap — topology-independence is the
+        point of that mode."""
+        from chalkydri_tpu.ops.pallas.ccl_kernel import (
+            INVALID as K_INVALID,
+            label_components_blocked_pallas,
+        )
+
+        t = self._serpentine(96, 128, 32)
+        blk = np.asarray(label_components_blocked_pallas(
+            jnp.asarray(t[None]), iters=16, block_rows=8, merge="twophase",
+            interpret=True,
+        ))[0]
+        ref = self._scipy_partition(t)
+        valid = t != 127
+        assert (blk[valid] != K_INVALID).all()
+        assert self._partitions_equal(ref, blk, valid)
+        # the whole snake is ONE component
+        assert len(np.unique(blk[t == 255])) == 1
+
     def test_padding_shapes(self):
         """Arbitrary (non-8/128-aligned) shapes pad internally and labels in
         the pad stay INVALID and never leak into real components."""
