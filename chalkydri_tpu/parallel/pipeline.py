@@ -22,7 +22,7 @@ reference's sketched chunked-row cluster merge,
   coordinates,
 - the shards reconstruct the single-device candidate compaction EXACTLY:
   per-block candidate counts ride a tiny ICI all-gather, every chip ranks
-  the same blocks (select_blocks, tie-breaks included), and a masked psum
+  the same blocks (cluster.rank_blocks, tie-breaks included), and a masked psum
   assembles bitwise-identical compacted arrays — so the downstream
   cluster -> quad -> refine -> decode -> solve tail is bit-identical to
   the single-device program (asserted in tests/test_sharding.py),
@@ -136,9 +136,11 @@ def _make_spatial_step(
         MIN_CLUSTER_POINTS,
         cluster_candidates_batched,
         extract_boundary_points,
-        select_blocks,
+        rank_blocks,
+        _dilate_vec,
     )
     from chalkydri_tpu.detector.decode import make_decoder
+    from chalkydri_tpu.ops.gather import rowsel_gather_batched
     from chalkydri_tpu.detector.families import (
         DEFAULT_BITS_CORRECTED,
         DEFAULT_FAMILY,
@@ -255,19 +257,27 @@ def _make_spatial_step(
         black, white, payload = map(core_slice, (black, white, payload))
 
         # -- 5. globally-consistent compaction over ICI ---------------------
-        # The single-device path keeps the 2*max_points/128 globally densest
-        # candidate blocks (cluster._compact_blocks). To stay BIT-IDENTICAL
-        # even when that cap drops blocks, the shards reconstruct the exact
-        # same selection: all-gather the per-block candidate COUNTS (tiny),
-        # rank them in the single-device global block order (ties break by
-        # block index, like lax.top_k there), then each shard contributes
-        # its owned selected blocks into a psum — every chip ends up
-        # holding the single-device compacted arrays, bit for bit. ICI
-        # volume: counts ~KBs + 3 x 2*max_points int32 (~1.5 MB).
+        # The single-device path keeps the top-ranked 2*max_points/128
+        # candidate blocks per direction in ORIENTATION-ALIGNED layouts
+        # (cluster._compact_blocks: dir 0 — right pairs / vertical edges —
+        # blocks the transposed [W, ceil128(H)] page so column blocks pack
+        # vertical edges densely; dir 1 the row-major [H, ceil128(W)]
+        # page). To stay BIT-IDENTICAL even when that cap drops blocks,
+        # the shards reconstruct the exact same selection: per-block
+        # candidate COUNTS and the per-axis both-direction boost vectors
+        # ride tiny ICI collectives, every chip ranks the same blocks
+        # (cluster.rank_blocks — tie-breaks included), then each shard
+        # contributes its owned slice of every selected block into a psum
+        # — every chip ends up holding the single-device compacted
+        # arrays, bit for bit. Dir-1 blocks are row-aligned and wholly
+        # shard-owned; dir-0 COLUMN blocks span shard row bands, so their
+        # contribution is element-level (a rowsel gather over the local
+        # transposed page, ownership-masked, psum-merged). ICI volume:
+        # counts + boosts ~KBs, 3 x 2*max_points int32 (~1.5 MB).
         n_seg = hl2 * w2  # per-dir per-shard candidates
         assert n_seg % 128 == 0, "per-shard candidate segment must block-align"
-        nb_seg = n_seg // 128
         n_global = 2 * n_space * n_seg
+        int_max = jnp.iinfo(jnp.int32).max
 
         def reorder_gather(x_local):
             """[Bl, 2*n] per-shard dir-major -> [Bl, 2*n_space*n] global
@@ -284,39 +294,106 @@ def _make_spatial_step(
             payload = reorder_gather(payload)
             dropped = jnp.zeros((bl,), jnp.int32)
         else:
-            counts = (black != jnp.iinfo(jnp.int32).max).reshape(
-                bl, 2 * nb_seg, 128
-            ).sum(axis=2)
-            counts_g = reorder_gather(counts)  # [Bl, n_global/128]
-            # The same per-direction ranking as the single-device
-            # _compact_blocks (cluster.select_blocks) — bit-identical
-            # selection, including its tie-breaks and row dilation.
-            blk_idx = select_blocks(
-                counts_g, 2 * edge_cap, row_dilate=-(-w2 // 128) + 1
-            )  # [Bl, k]
-            k_blocks = blk_idx.shape[-1]
+            h2 = n_space * hl2
+            hp = -(-h2 // 128) * 128
+            wp = -(-w2 // 128) * 128
+            n_rb, nbw = hp // 128, wp // 128
+            cap = 2 * edge_cap
+
+            has0 = (black[:, :n_seg] != int_max).reshape(bl, hl2, w2)
+            has1 = (black[:, n_seg:] != int_max).reshape(bl, hl2, w2)
+
+            # Boost vectors (cluster.direction_boosts semantics, assembled
+            # from global row/column presence).
+            row0 = jax.lax.all_gather(
+                has0.any(axis=2), "space", axis=1, tiled=True)  # [Bl, h2]
+            row1 = jax.lax.all_gather(
+                has1.any(axis=2), "space", axis=1, tiled=True)
+            col0 = jax.lax.psum(
+                has0.any(axis=1).astype(jnp.int32), "space") > 0  # [Bl, w2]
+            col1 = jax.lax.psum(
+                has1.any(axis=1).astype(jnp.int32), "space") > 0
+            both_row = _dilate_vec(row0) & _dilate_vec(row1)
+            both_col = _dilate_vec(col0) & _dilate_vec(col1)
+            boost0 = jnp.broadcast_to(
+                both_col[..., None], (bl, w2, n_rb)).reshape(bl, -1)
+            boost1 = jnp.broadcast_to(
+                both_row[..., None], (bl, h2, nbw)).reshape(bl, -1)
+
+            # Global per-block counts. Dir 1: row-aligned blocks, local
+            # counts concatenate over shards into global row-major order.
+            def pad_w(x, fill):
+                return jnp.pad(x.reshape(bl, hl2, w2),
+                               ((0, 0), (0, 0), (0, wp - w2)),
+                               constant_values=fill)
+
+            counts1_loc = (
+                pad_w(black[:, n_seg:], int_max) != int_max
+            ).reshape(bl, hl2 * nbw, 128).sum(axis=2)
+            counts1 = jax.lax.all_gather(
+                counts1_loc, "space", axis=1, tiled=True)  # [Bl, h2*nbw]
+            # Dir 0: column blocks (x, rb) span shard bands; each shard
+            # bins its rows into the global 128-row chunks and psums.
+            r_glob = idx * hl2 + jnp.arange(hl2, dtype=jnp.int32)
+            bins = (
+                r_glob[:, None] // 128
+                == jnp.arange(n_rb, dtype=jnp.int32)[None, :]
+            )  # [hl2, n_rb]
+            counts0 = jax.lax.psum(
+                jnp.einsum("bhw,hr->bwr", has0.astype(jnp.int32),
+                           bins.astype(jnp.int32)),
+                "space",
+            ).reshape(bl, w2 * n_rb)
+
+            idx0 = rank_blocks(counts0, boost0, cap)  # [Bl, k0]
+            idx1 = rank_blocks(counts1, boost1, cap)  # [Bl, k1]
+            k0, k1 = idx0.shape[-1], idx1.shape[-1]
             dropped = (
-                counts_g.sum(axis=-1)
-                - jnp.take_along_axis(counts_g, blk_idx, axis=-1).sum(axis=-1)
+                counts0.sum(axis=-1) + counts1.sum(axis=-1)
+                - jnp.take_along_axis(counts0, idx0, axis=-1).sum(axis=-1)
+                - jnp.take_along_axis(counts1, idx1, axis=-1).sum(axis=-1)
             ).astype(jnp.int32)
 
-            # Owner + local position of each selected global block.
-            per_dir = n_space * nb_seg
-            dir_i = blk_idx // per_dir
-            rem = blk_idx % per_dir
-            owner = rem // nb_seg
-            local_blk = dir_i * nb_seg + rem % nb_seg
-            mine = owner == idx
+            # Dir-0 contribution: element-level ownership over column blocks.
+            lanes = jnp.arange(128, dtype=jnp.int32)
+            r_elem = (idx0 % n_rb)[..., None] * 128 + lanes  # [Bl, k0, 128]
+            x_elem = (idx0 // n_rb)[..., None]
+            valid_r = r_elem < h2
+            mine0 = (r_elem // hl2 == idx) & valid_r
+            loc0 = jnp.clip(
+                x_elem * hl2 + (r_elem - idx * hl2), 0, n_seg - 1)
 
-            def contribute(x_local):
-                xb = x_local.reshape(bl, 2 * nb_seg, 128)
-                take = jnp.take_along_axis(xb, local_blk[..., None], axis=1)
-                part = jnp.where(mine[..., None], take, 0)
-                return jax.lax.psum(part, "space").reshape(bl, k_blocks * 128)
+            def contribute0(x_local, fill):
+                xt = x_local[:, :n_seg].reshape(bl, hl2, w2).transpose(
+                    0, 2, 1).reshape(bl, n_seg)
+                g = rowsel_gather_batched(xt, loc0)
+                tot = jax.lax.psum(jnp.where(mine0, g, 0), "space")
+                return jnp.where(valid_r, tot, fill)  # pad rows -> fill
 
-            black = contribute(black)
-            white = contribute(white)
-            payload = contribute(payload)
+            # Dir-1 contribution: whole blocks are shard-owned.
+            r1 = idx1 // nbw
+            mine1 = (r1 // hl2 == idx)[..., None]
+            local_blk1 = ((r1 % hl2) * nbw + idx1 % nbw)[..., None]
+
+            def contribute1(x_local, fill):
+                xb = pad_w(x_local[:, n_seg:], fill).reshape(
+                    bl, hl2 * nbw, 128)
+                take = jnp.take_along_axis(xb, local_blk1, axis=1)
+                return jax.lax.psum(jnp.where(mine1, take, 0), "space")
+
+            def compacted(x_local, fill):
+                c0 = contribute0(x_local, fill)
+                c1 = contribute1(x_local, fill)
+                return jnp.concatenate(
+                    [c0.reshape(bl, k0 * 128), c1.reshape(bl, k1 * 128)],
+                    axis=1,
+                )
+
+            black, white, payload = (
+                compacted(black, int_max),
+                compacted(white, int_max),
+                compacted(payload, jnp.int32(0)),
+            )
 
         # -- 6. cluster -> quad -> refine -> decode (replicated over
         # 'space'; the full-resolution frame is re-assembled over ICI for

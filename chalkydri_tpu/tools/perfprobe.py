@@ -235,15 +235,14 @@ def main() -> None:
     tern, labels = jax.jit(threshold_label_fn)(small)
 
     # ---- stage 2: boundary extraction + block compaction -----------------
-    row_dilate = -(-tern.shape[2] // 128) + 1
+    frame_w = int(tern.shape[2])
 
     def extract_compact(tern, labels):
         def one(tt, ll):
             black, white, payload = extract_boundary_points(tt, ll)
             if black.shape[0] > MAX_EDGE_POINTS:
                 return _compact_blocks(
-                    black, white, payload, 2 * MAX_EDGE_POINTS,
-                    row_dilate=row_dilate)
+                    black, white, payload, 2 * MAX_EDGE_POINTS, frame_w)
             return black, white, payload, jnp.int32(0)
 
         return jax.vmap(one)(tern, labels)

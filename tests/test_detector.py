@@ -1062,7 +1062,7 @@ class TestAdversarialCapacity:
     slack — dense directional texture flooding one direction's candidates,
     tags pushed to the frame corners. Round 2's density-ranked compaction
     lost every tag here; the per-direction budgets + row-dilated
-    both-directions boost (cluster.select_blocks) plus direction-diversity
+    both-directions boost (cluster.rank_blocks/direction_boosts) plus direction-diversity
     cluster ranking must keep them decoding, and the capacity counter must
     make the degradation mode visible."""
 
@@ -1103,6 +1103,31 @@ class TestAdversarialCapacity:
         )
         # The cliff is ACTIVE (candidates really were dropped) and VISIBLE.
         assert int(out.dropped_points[0]) > 10_000
+
+    def test_full_res_clean_tags_drop_nothing(self):
+        """Round-3 regression: at 1600x1304 quad_decimate=1, four clean
+        140 px tags occupied ~1100 right-direction candidate blocks under
+        row-major blocking (vertical edges land 1-2 candidates per
+        128-block) and the 2x-slack budget evicted one tag with NOTHING
+        else in the scene. Orientation-aligned blocking (dir 0 blocks the
+        transposed page) must detect all four with zero dropped
+        candidates."""
+        from tests.reference_impl.render import place_tag
+
+        fam = load_family("tag36h11")
+        qs = {1: [[150, 500], [330, 500], [330, 320], [150, 320]],
+              5: [[520, 560], [700, 530], [690, 360], [530, 390]],
+              9: [[880, 1180], [1020, 1180], [1020, 1040], [880, 1040]],
+              13: [[1180, 800], [1320, 790], [1315, 660], [1185, 670]]}
+        canvas = np.full((1304, 1600), 150, np.uint8)
+        for tid, q in qs.items():
+            place_tag(canvas, fam, tid, np.array(q, np.float32))
+        det = make_detector(quad_decimate=1)
+        out = det(jnp.asarray(canvas[None]))
+        valid = np.asarray(out.valid[0])
+        ids = sorted(int(i) for i in np.asarray(out.ids[0])[valid])
+        assert ids == sorted(qs), ids
+        assert int(out.dropped_points[0]) == 0
 
     def test_benign_scene_reports_zero_dropped(self):
         from tests.reference_impl.render import place_tag
