@@ -45,6 +45,11 @@ MAX_CLUSTERS = 64  # candidate quads per frame
 MAX_CLUSTER_POINTS = 128  # boundary points kept per cluster (stride-subsampled)
 MIN_CLUSTER_POINTS = 24  # smaller clusters can't be a tag border
 MIN_SAME_NEIGHBORS = 2  # speckle gate (see module docstring)
+# Compaction keeps COMPACT_SLACK * max_points/128 ranked blocks per frame
+# (split over the two directions); the kept rows are what the cluster
+# sort pays for, so this is the sort-width / robustness dial. See
+# compact_candidates for the measured history.
+COMPACT_SLACK = 2
 
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
@@ -207,9 +212,13 @@ def rank_blocks(counts: jax.Array, boost: jax.Array, cap: int) -> jax.Array:
     must agree bit for bit.
 
     counts: [..., nb] per-block candidate counts; boost: [..., nb] bool.
+    The boost applies only to OCCUPIED blocks — a boosted row/column also
+    crosses empty blocks, and scoring those above occupied unboosted
+    blocks evicts real candidates (measured: at 1x slack even a clean
+    full-res 4-tag scene lost tags to empty boosted blocks).
     """
     k = max(1, min(cap // 128 // len(_DIRS), counts.shape[-1]))
-    score = counts + jnp.where(boost, BOOST_SCORE, 0)
+    score = counts + jnp.where(boost & (counts > 0), BOOST_SCORE, 0)
     _, idx = jax.lax.top_k(score, k)
     return idx
 
@@ -603,7 +612,7 @@ def compact_candidates(black: jax.Array, white: jax.Array,
     dropped = jnp.int32(0)
     if black.shape[0] > max_points:
         black, white, payload, dropped = _compact_blocks(
-            black, white, payload, 2 * max_points, width,
+            black, white, payload, COMPACT_SLACK * max_points, width,
         )
     return black, white, payload, dropped
 

@@ -133,6 +133,7 @@ def _make_spatial_step(
         MAX_CLUSTER_POINTS,
         MAX_CLUSTERS,
         MAX_EDGE_POINTS,
+        COMPACT_SLACK,
         MIN_CLUSTER_POINTS,
         cluster_candidates_batched,
         extract_boundary_points,
@@ -298,7 +299,7 @@ def _make_spatial_step(
             hp = -(-h2 // 128) * 128
             wp = -(-w2 // 128) * 128
             n_rb, nbw = hp // 128, wp // 128
-            cap = 2 * edge_cap
+            cap = COMPACT_SLACK * edge_cap
 
             has0 = (black[:, :n_seg] != int_max).reshape(bl, hl2, w2)
             has1 = (black[:, n_seg:] != int_max).reshape(bl, hl2, w2)

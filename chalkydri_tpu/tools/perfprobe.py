@@ -149,6 +149,7 @@ def main() -> None:
     BATCH = _arg("--batch", BATCH)
     H2, W2 = _arg("--height", H), _arg("--width", W)
     from chalkydri_tpu.detector.cluster import (
+        COMPACT_SLACK,
         _INT_MAX,
         MAX_EDGE_POINTS,
         _compact_blocks,
@@ -242,7 +243,8 @@ def main() -> None:
             black, white, payload = extract_boundary_points(tt, ll)
             if black.shape[0] > MAX_EDGE_POINTS:
                 return _compact_blocks(
-                    black, white, payload, 2 * MAX_EDGE_POINTS, frame_w)
+                    black, white, payload,
+                    COMPACT_SLACK * MAX_EDGE_POINTS, frame_w)
             return black, white, payload, jnp.int32(0)
 
         return jax.vmap(one)(tern, labels)
