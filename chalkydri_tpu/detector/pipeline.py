@@ -232,7 +232,15 @@ def make_detector(
         the VPU over VMEM-resident data (the jnp extract's 17 shifted
         [h, w] intermediates were the stage's hidden cost). Larger frames
         (and non-TPU backends) take the two-stage path; results are
-        bit-identical either way (tested)."""
+        bit-identical either way (tested). Frames past the whole-frame
+        emitter's VMEM ceiling keep the JNP extraction: a standalone
+        row-blocked extract kernel (ops/pallas/ccl_kernel.py
+        extract_candidates_blocked_pallas) measured 3.3 ms vs the jnp
+        path's 1.0 ms at 1304x1600 batch-2 — XLA fuses the jnp stencils
+        into the compaction's reductions, while a standalone kernel pays
+        full HBM round-trips for six dense candidate pages. The kernel's
+        win exists only when extraction fuses INTO the labeling kernel
+        (the whole-frame emitter above)."""
         h, w = small.shape[1], small.shape[2]
         if (
             use_emitter

@@ -340,14 +340,23 @@ def _make_fused_kernel(h, w, iters, min_diff):
     return kernel
 
 
-def _extract_candidates(val, labels, h, w, row_idx, col_idx, dirs, min_same):
+def _extract_candidates(val, labels, h, w, row_idx, col_idx, dirs, min_same,
+                        core_top=0, core_bottom=0, y_offset=0):
     """In-kernel boundary-candidate extraction over the VMEM-resident
     ternary image + converged labels: bit-identical to
-    ``cluster.extract_boundary_points`` (single-device case — no halos),
-    whose dense stencils otherwise re-run over HBM after the kernel wrote
-    tern/labels back. Returns per-direction (black, white, payload) lists;
-    flattened dir-major [2, h, w] this is exactly the jnp enumeration
-    order, so the downstream block compaction consumes it unchanged.
+    ``cluster.extract_boundary_points``, whose dense stencils otherwise
+    re-run over HBM after the kernel wrote tern/labels back. Returns
+    per-direction (black, white, payload) lists; flattened dir-major
+    [2, h, w] this is exactly the jnp enumeration order, so the
+    downstream block compaction consumes it unchanged.
+
+    ``core_top``/``core_bottom``/``y_offset``: the halo semantics of
+    ``extract_boundary_points`` — rows outside
+    [core_top, h - core_bottom) are neighbor context only (the blocked
+    extract kernel feeds each row block with 1 halo row above and 2
+    below), and packed y coordinates are globalized with ``y_offset``
+    (the block's core row origin) so the emitted candidates are
+    bit-identical to a whole-frame run.
 
     Sign convention: ``_shift_no_wrap(x, dy, dx)`` yields the neighbor at
     offset (-dy, -dx) — the CCL never notices (its offset set is
@@ -366,6 +375,10 @@ def _extract_candidates(val, labels, h, w, row_idx, col_idx, dirs, min_same):
             solid_cnt = solid_cnt + (nv == val).astype(jnp.int32)
     solid = solid_cnt >= min_same
 
+    core = True
+    if core_top or core_bottom:
+        core = (row_idx >= core_top) & (row_idx < h - core_bottom)
+
     blacks, whites, payloads = [], [], []
     for di, (dy, dx) in enumerate(dirs):
         nv = nbr(val, dy, dx, jnp.int32(127))
@@ -373,14 +386,14 @@ def _extract_candidates(val, labels, h, w, row_idx, col_idx, dirs, min_same):
         # fill 0 < min_same, matching the jnp path's shifted-False fill
         ns = nbr(solid_cnt, dy, dx, jnp.int32(0)) >= min_same
         pair_sum = val + nv
-        is_edge = (pair_sum == 255) & solid & ns
+        is_edge = (pair_sum == 255) & solid & ns & core
         p_is_white = val == 255
         black = jnp.where(p_is_white, nl, labels)
         white = jnp.where(p_is_white, labels, nl)
         blacks.append(jnp.where(is_edge, black, INVALID))
         whites.append(jnp.where(is_edge, white, INVALID))
         x2 = 2 * col_idx + dx
-        y2 = 2 * row_idx + dy
+        y2 = 2 * (row_idx - core_top + y_offset) + dy
         payloads.append(
             (x2 & 0x1FFF)
             | ((y2 & 0x1FFF) << 13)
@@ -484,6 +497,137 @@ def threshold_ccl_extract_pallas(gray: jax.Array, iters: int = 12,
     )(gray)
     return (black.reshape(b, -1), white.reshape(b, -1),
             payload.reshape(b, -1))
+
+
+def _make_blocked_extract_kernel(hext, wp, k, hb):
+    """Boundary-candidate extraction over ONE row block with halos: tern
+    and labels arrive as [hb + 3, wp] pages (1 halo row above the core, 2
+    below — the solidity stencil reaches 1 row and a core last-row
+    down-edge needs the below row's solidity), candidate pages leave as
+    the core's [2, hb, wp] slices. Globalized y coordinates make the
+    assembled output bit-identical to the whole-frame jnp extraction."""
+    from chalkydri_tpu.detector.cluster import _DIRS, MIN_SAME_NEIGHBORS
+
+    def kernel(tern_ref, lab_ref, black_ref, white_ref, payload_ref):
+        blk = pl.program_id(0) % k
+        val = tern_ref[:].astype(jnp.int32)
+        labels = lab_ref[:]
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (hext, wp), 0)
+        col_idx = jax.lax.broadcasted_iota(jnp.int32, (hext, wp), 1)
+        blacks, whites, payloads = _extract_candidates(
+            val, labels, hext, wp, row_idx, col_idx, _DIRS,
+            MIN_SAME_NEIGHBORS, core_top=1, core_bottom=2,
+            y_offset=blk * hb,
+        )
+        for di in range(len(_DIRS)):
+            black_ref[di] = blacks[di][1:1 + hb, :]
+            white_ref[di] = whites[di][1:1 + hb, :]
+            payload_ref[di] = payloads[di][1:1 + hb, :]
+
+    return kernel
+
+
+# Per-block pixel budget for the blocked extract kernel: the live set is
+# the whole-frame extract kernel's (~152 B/px) without the CCL scan
+# temporaries; conservative reuse of the same ceiling.
+_EXTRACT_ROWBLOCK_MAX_PIXELS = 500_000
+
+
+@functools.lru_cache(maxsize=1)
+def blocked_extract_kernel_compiles() -> bool:
+    """Tiny Mosaic compile probe for the blocked extract kernel (same
+    self-heal pattern as ``extract_kernel_compiles``): backends that
+    reject it fall back to the jnp extraction."""
+    try:
+        t = jnp.full((1, 8, 128), 127, jnp.uint8)
+        l = jnp.full((1, 8, 128), INVALID, jnp.int32)
+        extract_candidates_blocked_pallas.lower(t, l).compile()
+        return True
+    except Exception:  # Mosaic/compile errors are backend-specific
+        return False
+
+
+@partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def extract_candidates_blocked_pallas(
+    tern: jax.Array,
+    labels: jax.Array,
+    block_rows: int | None = None,
+    interpret: bool = False,
+):
+    """Boundary-candidate extraction for frames beyond the single-block
+    VMEM budget: tern u8 / labels i32 [B, H, W] (the ``threshold_ccl_blocked``
+    outputs) -> (black, white, payload) [B, 2*H*W] int32, bit-identical to
+    ``cluster.extract_boundary_points`` (tested): each row block's
+    stencils run on the VPU over VMEM-resident pages, with 3 halo rows of
+    host-assembled context per block.
+
+    NOT selected by the production pipeline — measured 3.3 ms vs the jnp
+    extraction's 1.0 ms for extract+compact at 1304x1600 batch-2 on v5e:
+    XLA fuses the jnp shifts straight into the compaction's reductions,
+    while this standalone kernel pays full HBM round-trips for six dense
+    int32 candidate pages. Extraction only wins fused INTO the labeling
+    kernel (threshold_ccl_extract_pallas, the whole-frame emitter); this
+    kernel and its halo/y_offset extraction semantics are kept as the
+    tested building block for a future fused final-propagation emitter on
+    the blocked path.
+    """
+    b, h, w = tern.shape
+    wp = (w + 127) // 128 * 128
+    hb = _pick_block_rows(h, wp) if block_rows is None else block_rows
+    hb = min(hb, max(8, _EXTRACT_ROWBLOCK_MAX_PIXELS // wp // 4 * 4))
+    assert hb % 4 == 0
+    k = -(-h // hb)
+    hp = k * hb
+    hext = hb + 3
+
+    tern_p = tern
+    if hp != h or wp != w:
+        tern_p = jnp.pad(tern, ((0, 0), (0, hp - h), (0, wp - w)),
+                         constant_values=127)
+    labels_p = labels
+    if hp != h or wp != w:
+        labels_p = jnp.pad(labels, ((0, 0), (0, hp - h), (0, wp - w)),
+                           constant_values=INVALID)
+
+    def with_halos(x, fill):
+        xb = x.reshape(b, k, hb, wp)
+        f1 = jnp.full((b, 1, 1, wp), fill, x.dtype)
+        top = jnp.concatenate([f1, xb[:, :-1, -1:, :]], axis=1)
+        f2 = jnp.full((b, 1, 2, wp), fill, x.dtype)
+        bot = jnp.concatenate([xb[:, 1:, :2, :], f2], axis=1)
+        return jnp.concatenate([top, xb, bot], axis=2).reshape(
+            b * k, hext, wp)
+
+    tern_ext = with_halos(tern_p, jnp.uint8(127))
+    labels_ext = with_halos(labels_p, INVALID)
+
+    kernel = _make_blocked_extract_kernel(hext, wp, k, hb)
+    out_spec = pl.BlockSpec(
+        (None, 2, hb, wp), lambda i, k=k: (i // k, 0, i % k, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((b, 2, hp, wp), jnp.int32)
+    black, white, payload = pl.pallas_call(
+        kernel,
+        grid=(b * k,),
+        in_specs=[
+            pl.BlockSpec((None, hext, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, hext, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes_extract(hext, wp)
+        ),
+        interpret=interpret,
+    )(tern_ext, labels_ext)
+
+    def strip(x):
+        return x[:, :, :h, :w].reshape(b, -1)
+
+    return strip(black), strip(white), strip(payload)
 
 
 def _vmem_limit_bytes(h: int, w: int) -> int:

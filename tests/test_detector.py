@@ -1143,6 +1143,40 @@ class TestAdversarialCapacity:
         assert int(out.dropped_points[0]) == 0
 
 
+class TestBlockedExtract:
+    """Row-blocked Pallas boundary extraction (halo rows per block) must
+    be BITWISE identical to cluster.extract_boundary_points — including
+    payloads at non-edge pixels (the dense page layout the compaction
+    consumes), tags straddling block seams, and the padded tail block."""
+
+    def test_bitwise_matches_jnp_extraction(self):
+        import jax
+
+        from chalkydri_tpu.detector.cluster import extract_boundary_points
+        from chalkydri_tpu.ops.pallas.ccl_kernel import (
+            extract_candidates_blocked_pallas,
+        )
+
+        # Odd (non-8/128-aligned) shape; 52 rows with block_rows=16 makes
+        # k=4 with a padded tail block; tags + noise straddle every seam.
+        canvas, _ = simple_scene(
+            FAM,
+            [(2, axis_aligned_corners(100, 26, 36))],
+            size=(52, 200),
+            noise=8.0,
+        )
+        g = jnp.asarray(canvas)[None]
+        tern = adaptive_threshold(g)
+        labels = label_components(tern, iters=16)
+        got = extract_candidates_blocked_pallas(
+            tern, labels, block_rows=16, interpret=True)
+        want = jax.vmap(extract_boundary_points)(tern, labels)
+        for name, g_, w_ in zip(("black", "white", "payload"), got, want):
+            np.testing.assert_array_equal(
+                np.asarray(g_), np.asarray(w_),
+                err_msg=f"blocked extract {name} != jnp extraction")
+
+
 class TestFusedBlockedThreshold:
     """threshold_ccl_blocked fuses the adaptive threshold into the round-0
     block kernel (host prepares only tile-resolution boundary rows). Must
