@@ -1149,7 +1149,7 @@ class TestBlockedExtract:
     payloads at non-edge pixels (the dense page layout the compaction
     consumes), tags straddling block seams, and the padded tail block."""
 
-    def test_bitwise_matches_jnp_extraction(self):
+    def test_blocked_extract_kernel_bitwise(self):
         import jax
 
         from chalkydri_tpu.detector.cluster import extract_boundary_points
