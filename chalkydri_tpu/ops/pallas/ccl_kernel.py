@@ -195,7 +195,7 @@ def _segmented_scan_axis_packed(labels, seg_fwd, seg_bwd, axis, size,
 
 
 def _ccl_from_val(val, h, w, iters, offsets, labels0=None,
-                  want_converged=False):
+                  want_converged=False, final_cond=False):
     """Shared CCL body: ternary val [h, w] int32 -> labels int32.
 
     ``labels0``: optional initial labeling (min-propagation converges from
@@ -211,6 +211,24 @@ def _ccl_from_val(val, h, w, iters, offsets, labels0=None,
     reached its true fixed point (the loop exited on the convergence test,
     not the ``iters`` latency cap). The two-phase blocked merge uses this
     as its exactness certificate (see _seam_solve_relabel).
+
+    ``final_cond``: choose the loop bracketing. False (default) is the
+    plain convergence-gated loop: every round pays neighbor-min + scans,
+    including the confirming round. True re-brackets so the fixed-point
+    test runs on the neighbor-min output BEFORE the scans are paid, with
+    a closing lax.cond that pays the final scan set only on a cap exit —
+    a convergence exit skips one whole scan set. Both produce bitwise
+    identical labels (see the bracket comment below for the proof sketch).
+    The trade-off is VMEM: Mosaic stacks the closing cond's scan
+    temporaries NEXT TO the while body's, growing the kernel's live set
+    from ~96 to ~128 B/padded-pixel (compile-probed on v5e). The blocked
+    path's kernels use True — their blocks are <= 512k px (worst-case
+    ~64 MiB at 128 B/px) and their post-merge re-propagations converge in
+    1-3 rounds, where skipping the confirming scans is a large fraction —
+    while the whole-frame kernels keep False: 800x1280 (the
+    SINGLE_BLOCK_MAX_PIXELS ceiling) already fills 125 of 128 MiB VMEM at
+    the old bracket, and the bench geometry measured no win from the
+    re-bracketing (threshold_ccl 0.470 vs 0.46 ms).
     """
     import math
 
@@ -259,12 +277,15 @@ def _ccl_from_val(val, h, w, iters, offsets, labels0=None,
         seg_col_f = _prefix_count((bits >> 10) & 1, +1, 0, h, row_idx)
         seg_col_b = _prefix_count((bits >> 11) & 1, -1, 0, h, row_idx)
 
-    def round_fn(labels):
+    def neighbor_min(labels):
         m = labels
         for i, (dy, dx) in enumerate(offsets):
             nl = _shift_no_wrap(labels, dy, dx, INVALID, row_idx, col_idx, h, w)
             same = (bits >> i) & 1
             m = jnp.minimum(m, jnp.where(same == 1, nl, INVALID))
+        return m
+
+    def scans_remask(m):
         if use_packed:
             m = _segmented_scan_axis_packed(
                 m, seg_row_f, seg_row_b, 1, w, col_idx, label_bits
@@ -281,21 +302,62 @@ def _ccl_from_val(val, h, w, iters, offsets, labels0=None,
             )
         return jnp.where((bits >> 12) & 1 == 1, m, INVALID)
 
-    # Convergence-gated loop: typical scenes settle in fewer rounds than
-    # the worst-case budget; a fixed-point check per round exits early
-    # (``iters`` stays the hard latency bound).
-    def cond(carry):
-        i, _, changed = carry
-        return (i < iters) & changed
+    if iters <= 0:
+        if want_converged:
+            return labels0, jnp.int32(0)
+        return labels0
 
-    def body(carry):
-        i, labels, _ = carry
-        new = round_fn(labels)
-        return i + 1, new, jnp.any(new != labels)
+    if final_cond:
+        # Re-bracketed loop: the fixed-point test runs on the NEIGHBOR-MIN
+        # output before the scans are paid for — nm(L) == L already
+        # certifies the global fixed point (labels then agree across every
+        # connected edge, so they are constant on components and the scans
+        # are no-ops too; scans(nm(L)) <= nm(L) <= L pointwise makes the
+        # two exit tests coincide on reachable states). The carry holds
+        # ONLY the neighbor-min image (a second label page in the carry
+        # blew the whole-frame kernels' VMEM budget: 67 MB vs the 48 MB
+        # live set at 652x800), exploiting that at a convergence exit the
+        # carried nm output IS the converged labels. Per round the work
+        # stays one nm + one scan set, but a convergence exit skips the
+        # scans the plain loop's confirming round paid. The label SEQUENCE
+        # is unchanged: the loop runs at most ``iters - 1`` scan rounds
+        # and the closing lax.cond pays the final scan set only on a cap
+        # exit, so the result is scans(nm(L_{iters-1})) = L_iters there —
+        # bitwise identical to the plain loop at the cap as well as at
+        # convergence (unique fixed point). ``iters`` stays the hard
+        # latency bound.
+        m0 = neighbor_min(labels0)
 
-    _, labels_out, changed = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), labels0, jnp.bool_(True))
-    )
+        def cond(carry):
+            i, _, changed = carry
+            return (i < iters - 1) & changed
+
+        def body(carry):
+            i, m, _ = carry
+            new = scans_remask(m)
+            m2 = neighbor_min(new)
+            return i + 1, m2, jnp.any(m2 != new)
+
+        _, m_out, changed = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), m0, jnp.any(m0 != labels0))
+        )
+        labels_out = jax.lax.cond(changed, scans_remask, lambda m: m, m_out)
+    else:
+        # Plain convergence-gated loop: typical scenes settle in fewer
+        # rounds than the worst-case budget; a fixed-point check per round
+        # exits early (``iters`` stays the hard latency bound).
+        def cond(carry):
+            i, _, changed = carry
+            return (i < iters) & changed
+
+        def body(carry):
+            i, labels, _ = carry
+            new = scans_remask(neighbor_min(labels))
+            return i + 1, new, jnp.any(new != labels)
+
+        _, labels_out, changed = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), labels0, jnp.bool_(True))
+        )
     if want_converged:
         # The loop exits with changed=False only at a true fixed point;
         # exiting on the iters cap (changed still True) is uncertified.
@@ -630,15 +692,22 @@ def extract_candidates_blocked_pallas(
     return strip(black), strip(white), strip(payload)
 
 
-def _vmem_limit_bytes(h: int, w: int) -> int:
+def _vmem_limit_bytes(h: int, w: int, bpp: int = 96) -> int:
     """Scoped-VMEM budget for a whole-frame kernel block: ~96 B per
     LANE-PADDED pixel (the measured live set is ~88 B/px at 652x800 —
     that frame compiles and runs at a 48 MB cap on v5e; margin on top),
     floored at the historical 24 MB setting. v5e executes 48 MB scoped
     budgets fine; the cap grows only with frame size, and frames beyond
-    SINGLE_BLOCK_MAX_PIXELS take the row-blocked path instead."""
+    SINGLE_BLOCK_MAX_PIXELS take the row-blocked path instead.
+
+    ``bpp``: the blocked path's kernels pass 128 — their re-bracketed
+    convergence loop (``final_cond=True``) stacks the closing cond's scan
+    temporaries next to the while body's (compile-probed on v5e: 120 B/px
+    OOMs, 128 compiles). Their blocks are <= 512k px so the worst-case
+    cap is ~64 MiB, far from the 128 MiB ceiling the whole-frame kernels
+    flirt with."""
     wp = -(-w // 128) * 128
-    return max(24 * 1024 * 1024, h * wp * 96)
+    return max(24 * 1024 * 1024, h * wp * bpp)
 
 
 @partial(jax.jit, static_argnames=("iters", "interpret"))
@@ -753,6 +822,14 @@ def _pick_block_rows(h: int, wp: int) -> int:
     return (hb + 7) // 8 * 8
 
 
+# Loop bracket for the blocked path's kernels (see _ccl_from_val's
+# ``final_cond``): True skips the confirming round's scan set on a
+# convergence exit at the price of a larger per-block VMEM live set
+# (~128 vs ~96 B/px — fine for <= 512k px blocks). Module-level so A/B
+# perf probes can flip it; clear the jit caches after changing it.
+BLOCKED_FINAL_COND = True
+
+
 def _make_prop_kernel(h, w, iters):
     """CCL propagation kernel taking an initial labeling as input. Also
     emits a per-block convergence flag page (1 iff the in-kernel loop hit
@@ -763,7 +840,8 @@ def _make_prop_kernel(h, w, iters):
     def kernel(tern_ref, lab_ref, out_ref, conv_ref):
         val = tern_ref[:].astype(jnp.int32)
         labels, conv = _ccl_from_val(val, h, w, iters, offsets,
-                                     labels0=lab_ref[:], want_converged=True)
+                                     labels0=lab_ref[:], want_converged=True,
+                                     final_cond=BLOCKED_FINAL_COND)
         out_ref[:] = labels
         conv_ref[:] = jnp.full((8, 128), conv, jnp.int32)
 
@@ -823,7 +901,8 @@ def _make_fused_blocked_kernel(hb, wp, k, h_true, w_true, iters, min_diff):
         tern_ref[:] = val.astype(jnp.uint8)
         gflat = grow * wp + col_idx
         labels, conv = _ccl_from_val(val, hb, wp, iters, offsets,
-                                     labels0=gflat, want_converged=True)
+                                     labels0=gflat, want_converged=True,
+                                     final_cond=BLOCKED_FINAL_COND)
         labels_ref[:] = labels
         conv_ref[:] = jnp.full((8, 128), conv, jnp.int32)
 
@@ -1108,7 +1187,7 @@ def _blocked_propagate(tern, labels, hb, iters, interpret):
             jax.ShapeDtypeStruct((b * k, 8, 128), jnp.int32),
         ),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit_bytes(hb, w)
+            vmem_limit_bytes=_vmem_limit_bytes(hb, w, bpp=128)
         ),
         interpret=interpret,
     )(tern.reshape(b * k, hb, w), labels.reshape(b * k, hb, w))
@@ -1273,7 +1352,7 @@ def threshold_ccl_blocked(
             jax.ShapeDtypeStruct((b * k, 8, 128), jnp.int32),
         ),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit_bytes(hb, wp)
+            vmem_limit_bytes=_vmem_limit_bytes(hb, wp, bpp=128)
         ),
         interpret=interpret,
     )(gray_p.reshape(b * k, hb, wp), nbr)
