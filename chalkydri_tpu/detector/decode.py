@@ -136,15 +136,15 @@ def make_decoder(family: TagFamily, bits_corrected: int = 2):
         jnp.uint32,
     )
 
-    def decode_quad(gray, corners, quad_valid):
+    def decode_quad(gray, corners, quad_valid, hw=None, base=None):
         h = homography_from_corners(corners)
         d_pix = apply_homography(h, data_xy)
         b_pix = apply_homography(h, black_xy)
         w_pix = apply_homography(h, white_xy)
 
-        d_val = bilinear_sample(gray, d_pix)
-        b_val = bilinear_sample(gray, b_pix)
-        w_val = bilinear_sample(gray, w_pix)
+        d_val = bilinear_sample(gray, d_pix, hw=hw, base=base)
+        b_val = bilinear_sample(gray, b_pix, hw=hw, base=base)
+        w_val = bilinear_sample(gray, w_pix, hw=hw, base=base)
 
         black_coef = _fit_linear_model(black_xy, b_val)
         white_coef = _fit_linear_model(white_xy, w_val)
@@ -187,9 +187,13 @@ def make_decoder(family: TagFamily, bits_corrected: int = 2):
             valid=ok,
         )
 
-    @partial(jax.jit)
-    def decode(gray, corners, quad_valid):
-        """gray [H, W]; corners [K, 4, 2]; quad_valid [K] -> Decoded [K]."""
-        return jax.vmap(lambda c, v: decode_quad(gray, c, v))(corners, quad_valid)
+    @partial(jax.jit, static_argnames=("hw",))
+    def decode(gray, corners, quad_valid, hw=None, base=None):
+        """gray [H, W] (or flat packed u32 + ``hw``/``base``, see
+        ``bilinear_sample``); corners [K, 4, 2]; quad_valid [K] ->
+        Decoded [K]."""
+        return jax.vmap(
+            lambda c, v: decode_quad(gray, c, v, hw=hw, base=base)
+        )(corners, quad_valid)
 
     return decode

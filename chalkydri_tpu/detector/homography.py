@@ -104,23 +104,44 @@ def pack_neighborhood(img: jax.Array) -> jax.Array:
     ONE gather per sample instead of four — measured ~3x faster on v5e,
     where random 1D gathers dominate the sampling stages. Pack once per
     frame and share across refine + decode.
+
+    Accepts [H, W] or any leading batch dims ([..., H, W]): the packing
+    operates on the trailing two axes, per frame.
     """
     p = img.astype(jnp.uint32)
-    right = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
-    down = jnp.concatenate([p[1:, :], p[-1:, :]], axis=0)
-    downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    right = jnp.concatenate([p[..., 1:], p[..., -1:]], axis=-1)
+    down = jnp.concatenate([p[..., 1:, :], p[..., -1:, :]], axis=-2)
+    downright = jnp.concatenate([down[..., 1:], down[..., -1:]], axis=-1)
     return p | (right << 8) | (down << 16) | (downright << 24)
 
 
-def bilinear_sample(img: jax.Array, xy: jax.Array) -> jax.Array:
+def bilinear_sample(img: jax.Array, xy: jax.Array, hw=None,
+                    base=None) -> jax.Array:
     """Bilinear sample a [H, W] image at float pixel coords [..., 2].
 
     ``img`` is either a raw grayscale image (4-gather path) or a
     ``pack_neighborhood`` uint32 image (single-gather fast path —
     bit-identical results). Out-of-bounds coordinates clamp to the border
     (callers gate validity separately). Returns float32 samples.
+
+    Flat multi-frame form: ``img`` may be a 1-D uint32 packed table
+    holding B stacked frames (``pack_neighborhood(batch).reshape(-1)``)
+    with ``hw=(h, w)`` giving the per-frame geometry and ``base`` a
+    per-sample flat offset (``frame_index * h * w``, broadcastable to
+    ``xy[..., 0]``). This keeps the gather TABLE unbatched when callers
+    vmap over frames — XLA lowers an unbatched-table/batched-index row
+    gather near memory speed, while a vmapped (batched-table) row gather
+    is ~2.5x slower on v5e (ops/gather.py).
     """
-    h, w = img.shape
+    if img.ndim == 1:
+        if img.dtype != jnp.uint32:
+            raise ValueError("flat bilinear_sample requires a packed "
+                             "uint32 table")
+        if hw is None:
+            raise ValueError("flat bilinear_sample requires hw=(h, w)")
+        h, w = hw
+    else:
+        h, w = img.shape
     x = jnp.clip(xy[..., 0], 0.0, w - 1.000001)
     y = jnp.clip(xy[..., 1], 0.0, h - 1.000001)
     x0 = jnp.floor(x).astype(jnp.int32)
@@ -130,7 +151,10 @@ def bilinear_sample(img: jax.Array, xy: jax.Array) -> jax.Array:
     from chalkydri_tpu.ops.gather import rowsel_gather
 
     if img.dtype == jnp.uint32:  # packed 2x2 neighborhoods
-        word = rowsel_gather(img.reshape(-1), y0 * w + x0)
+        idx = y0 * w + x0
+        if base is not None:
+            idx = idx + base
+        word = rowsel_gather(img.reshape(-1), idx)
         v00 = (word & 0xFF).astype(jnp.float32)
         v01 = ((word >> 8) & 0xFF).astype(jnp.float32)
         v10 = ((word >> 16) & 0xFF).astype(jnp.float32)

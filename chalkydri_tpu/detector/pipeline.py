@@ -86,35 +86,30 @@ def make_post_cluster(
     max_detections: int = MAX_DETECTIONS,
     max_quad_candidates: int = 32,
 ):
-    """Build the post-cluster tail ``finish(gray, clusters) -> Detections``:
+    """Build the post-cluster tail ``finish(gray_batch, clusters) ->
+    Detections`` (BATCHED: gray [B, H, W], cluster fields lead with B):
     quad fit -> candidate compaction -> refine -> decode -> margin rank ->
     per-id dedup. Shared by the single-device detector (``make_detector``)
     and the spatially-sharded multi-chip pipeline
     (parallel/pipeline.py), which reaches this point via per-shard boundary
-    extraction + ICI candidate all-gather."""
+    extraction + ICI candidate all-gather.
 
-    def finish(gray, clusters):
-        quads = fit_quads(clusters.points, clusters.mask, clusters.valid)
+    Batch plumbing: the packed sampling image is ONE flat [B*H*W] uint32
+    table shared across the per-frame vmap (``in_axes=None``) with
+    per-frame ``base`` offsets folded into the sample indices — a vmapped
+    (batched-table) row gather is ~2.5x slower on v5e than the same
+    gathers against an unbatched table (ops/gather.py), and the
+    refine/decode bilinear samples are the dominant gathers of this
+    stage."""
 
-        # --- candidate compaction: refine + decode cost is dominated by
-        # bilinear gathers proportional to K; keep only the best
-        # max_quad_candidates quads (valid first, larger clusters first) ----
-        kq = min(max_quad_candidates, quads.valid.shape[0])
-        score = jnp.where(quads.valid, clusters.count, jnp.int32(-1))
-        _, sel = jax.lax.top_k(score, kq)
-        quads = quads._replace(corners=quads.corners[sel], valid=quads.valid[sel])
-
-        corners = quads.corners
-        if quad_decimate == 2:
-            # decimated pixel (i, j) is the mean of full pixels 2i..2i+1 x
-            # 2j..2j+1, i.e. its center sits at full coord 2*c + 0.5.
-            corners = corners * 2.0 + 0.5
-        # Pack 2x2 neighborhoods once; refine + decode then bilinear-sample
-        # with one gather per sample instead of four (homography.py).
-        packed = pack_neighborhood(gray)
+    def _tail(hw, packed_flat, base, corners, q_valid, dropped):
+        """One frame's refine -> decode -> rank -> dedup (vmapped below;
+        ``packed_flat`` rides unbatched through the vmap, ``hw`` is bound
+        statically before the vmap)."""
         if refine:
-            corners = refine_quads(packed, corners, quads.valid)
-        dec = decode(packed, corners, quads.valid)  # [K] fields
+            corners = refine_quads(packed_flat, corners, q_valid,
+                                   hw=hw, base=base)
+        dec = decode(packed_flat, corners, q_valid, hw=hw, base=base)
 
         # --- rank by decision margin, dedup by tag id ----------------------
         margin = jnp.where(dec.valid, dec.decision_margin, -1.0)
@@ -147,8 +142,40 @@ def make_post_cluster(
             decision_margins=compact(margins_s, jnp.float32(0)),
             hammings=compact(ham_s, jnp.int32(0)),
             valid=compact(keep, False),
-            dropped_points=clusters.dropped,
+            dropped_points=dropped,
         )
+
+    def finish(gray, clusters):
+        """gray [B, H, W] full-res frames; clusters fields lead with B."""
+        from functools import partial as _partial
+
+        b, h, w = gray.shape
+        quads = jax.vmap(fit_quads)(
+            clusters.points, clusters.mask, clusters.valid
+        )
+
+        # --- candidate compaction: refine + decode cost is dominated by
+        # bilinear gathers proportional to K; keep only the best
+        # max_quad_candidates quads (valid first, larger clusters first) ----
+        kq = min(max_quad_candidates, quads.valid.shape[1])
+        score = jnp.where(quads.valid, clusters.count, jnp.int32(-1))
+        _, sel = jax.lax.top_k(score, kq)  # [B, kq]
+        corners = jnp.take_along_axis(
+            quads.corners, sel[..., None, None], axis=1
+        )  # [B, kq, 4, 2]
+        q_valid = jnp.take_along_axis(quads.valid, sel, axis=1)
+
+        if quad_decimate == 2:
+            # decimated pixel (i, j) is the mean of full pixels 2i..2i+1 x
+            # 2j..2j+1, i.e. its center sits at full coord 2*c + 0.5.
+            corners = corners * 2.0 + 0.5
+        # Pack 2x2 neighborhoods once (one gather per bilinear sample,
+        # homography.py); flatten the batch into ONE shared table.
+        packed_flat = pack_neighborhood(gray).reshape(-1)
+        base = jnp.arange(b, dtype=jnp.int32) * (h * w)
+        return jax.vmap(
+            _partial(_tail, (h, w)), in_axes=(None, 0, 0, 0, 0)
+        )(packed_flat, base, corners, q_valid, clusters.dropped)
 
     return finish
 
@@ -298,6 +325,6 @@ def make_detector(
             cluster_points=cluster_points,
             dropped=dropped,
         )
-        return jax.vmap(finish)(gray_batch, clusters)
+        return finish(gray_batch, clusters)
 
     return detect

@@ -34,16 +34,25 @@ N_WALK = 9  # samples along the normal
 WALK_RANGE = 2.0  # pixels each side
 
 
-@partial(jax.jit, static_argnames=("n_samples", "n_walk", "walk_range"))
+@partial(jax.jit,
+         static_argnames=("n_samples", "n_walk", "walk_range", "hw"))
 def refine_quads(
-    gray: jax.Array,  # [H, W] uint8/float
+    gray: jax.Array,  # [H, W] uint8/float, or flat packed u32 (see below)
     corners: jax.Array,  # [K, 4, 2]
     valid: jax.Array,  # [K]
     n_samples: int = N_SAMPLES,
     n_walk: int = N_WALK,
     walk_range: float = WALK_RANGE,
+    hw: tuple[int, int] | None = None,
+    base: jax.Array | None = None,
 ):
-    """Refine all quads of one frame. Returns corners [K, 4, 2] float32."""
+    """Refine all quads of one frame. Returns corners [K, 4, 2] float32.
+
+    ``hw``/``base``: flat multi-frame sampling form — ``gray`` is a 1-D
+    packed uint32 table of stacked frames, ``hw`` the per-frame geometry
+    and ``base`` this frame's flat offset (see ``bilinear_sample``); used
+    by the batched post-cluster tail to keep the gather table unbatched
+    under the per-frame vmap."""
     k = corners.shape[0]
     c0 = corners  # [K, 4, 2]
     c1 = jnp.roll(corners, -1, axis=1)  # edge endpoints
@@ -65,7 +74,9 @@ def refine_quads(
     sx = px[..., None] + nx[:, :, None, None] * w  # [K, 4, S, W]
     sy = py[..., None] + ny[:, :, None, None] * w
 
-    vals = bilinear_sample(gray, jnp.stack([sx, sy], axis=-1))  # [K, 4, S, W]
+    vals = bilinear_sample(
+        gray, jnp.stack([sx, sy], axis=-1), hw=hw, base=base
+    )  # [K, 4, S, W]
 
     # Gradient along the walk; positions at midpoints of adjacent samples.
     grad = jnp.abs(vals[..., 1:] - vals[..., :-1])  # [K, 4, S, W-1]

@@ -401,7 +401,7 @@ def _make_spatial_step(
         # the sub-pixel sampling stages) ------------------------------------
         clusters = cluster_fn(black, white, payload, dropped=dropped)
         gray_full = jax.lax.all_gather(frames_blk, "space", axis=1, tiled=True)
-        dets = jax.vmap(finish)(gray_full, clusters)
+        dets = finish(gray_full, clusters)
 
         # -- 7. SQPnP + gyro fusion per frame -------------------------------
         res, n_tags = jax.vmap(solve_frame)(

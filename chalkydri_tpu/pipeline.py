@@ -63,18 +63,30 @@ def make_frame_solver(
     tag_t_table = layout.translations.astype(dtype)
     tag_present = layout.present
 
+    n_slots = tag_present.shape[0]
+    rot_flat = tag_rot_table.reshape(n_slots, 9)
+
     @highest_precision
     def solve_frame(dets: Detections, cam_params_row, rc_rot, rc_t, gyro):
         """Per-frame: gather tag poses, unproject corners, solve."""
         ids = dets.ids  # [D]
-        known = tag_present[jnp.clip(ids, 0, tag_present.shape[0] - 1)]
+        # Tiny-table lookups as one-hot contractions, NOT index gathers:
+        # XLA's per-element gather path cost ~0.3 ms for these three
+        # lookups on v5e (measured solve_stage - sqpnp_core; same class as
+        # the tiny-constant gathers noted in detector/cluster.py). A
+        # [D, T] one-hot matmul is exact — each row has exactly one unit
+        # weight, so the sum reproduces the table row bitwise.
+        idx = jnp.clip(ids, 0, n_slots - 1)
+        onehot = idx[:, None] == jnp.arange(n_slots, dtype=ids.dtype)[None, :]
+        known = jnp.any(onehot & tag_present[None, :], axis=1)
         known = known & (ids >= 0) & dets.valid
         if decision_margin_min > 0:
             known = known & (dets.decision_margins > decision_margin_min)
 
-        idx = jnp.clip(ids, 0, tag_present.shape[0] - 1)
-        t_rot = tag_rot_table[idx]  # [D, 3, 3]
-        t_t = tag_t_table[idx]  # [D, 3]
+        hp = jax.lax.Precision.HIGHEST
+        oh = onehot.astype(rot_flat.dtype)
+        t_rot = jnp.matmul(oh, rot_flat, precision=hp).reshape(-1, 3, 3)
+        t_t = jnp.matmul(oh, tag_t_table, precision=hp)  # [D, 3]
 
         model = OpenCVModel5(cam_params_row)
         rays, conv = model.unproject(dets.corners)  # [D, 4, 3], [D, 4]

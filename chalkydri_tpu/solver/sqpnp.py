@@ -146,6 +146,84 @@ def _jacobi_eigh3(a: jax.Array):
     return _jacobi_eigh_small(a, sweeps=4)
 
 
+def _analytic_eigh3(a: jax.Array):
+    """Closed-form symmetric 3x3 eigendecomposition (Smith's trigonometric
+    form + cross-product eigenvectors), branch-free.
+
+    Replaces the 4-sweep Jacobi inside ``nearest_so3``: the Jacobi's 12
+    sequential rotations are ~100 dependent tiny ops, which is pure
+    dispatch latency on TPU (the solve stage is latency-bound,
+    docs/performance.md); this is ~35 ops with the same f32 accuracy on
+    the stress corpus (tests/test_solver.py compares both against the f64
+    SVD oracle, including the rank-1/rank-0 guesses the SQPnP candidates
+    routinely produce).
+
+    Eigenvalues: for B = (A - q I)/p with q = tr/3, p = sqrt(tr(B'^2)/6),
+    the shifted matrix has det in [-2, 2] and eigenvalues
+    2 cos(phi + 2k pi / 3); scalar matrices (p ~ 0) fall back to q.
+
+    Eigenvectors: v1 (largest lambda) and v3 (smallest) are each computed
+    as the largest-norm cross product of two rows of (A - lambda I) —
+    exact for simple eigenvalues; v2 completes the right-handed frame.
+    Near-degenerate PAIRS make one of the crosses ill-conditioned, but
+    exactly then any orthonormal basis of the pair's subspace is
+    near-optimal for the caller (nearest_so3's U-construction
+    re-orthonormalizes and only the SUM of the tied singular directions'
+    contributions matters); the norm-ranked cross selection picks the
+    best-conditioned candidate, and the caller's fallbacks cover exact
+    ties. Returns (eigenvalues [3] DESCENDING, eigenvectors as columns
+    [3, 3], right-handed: v2 = v3 x v1).
+    """
+    dtype = a.dtype
+    q = jnp.trace(a) / 3.0
+    b = a - q * jnp.eye(3, dtype=dtype)
+    p2 = jnp.sum(b * b) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 0.0))
+    safe_p = jnp.maximum(p, jnp.asarray(1e-30, dtype))
+    detb = jnp.linalg.det(b)
+    r = jnp.clip(detb / (2.0 * safe_p * safe_p * safe_p), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    # cos(phi) >= cos(phi + 4pi/3) >= cos(phi + 2pi/3) for phi in [0, pi/3]
+    lam1 = q + 2.0 * p * jnp.cos(phi)
+    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam2 = 3.0 * q - lam1 - lam3
+
+    def eigvec(lam):
+        m = a - lam * jnp.eye(3, dtype=dtype)
+        # All 3 row-pair crosses; pick the largest by norm with a one-hot
+        # select (tiny dynamic gathers take XLA's slow path on TPU).
+        c01 = jnp.cross(m[0], m[1])
+        c12 = jnp.cross(m[1], m[2])
+        c20 = jnp.cross(m[2], m[0])
+        cs = jnp.stack([c01, c12, c20])  # [3, 3]
+        n2 = jnp.sum(cs * cs, axis=1)
+        selv = (n2 == jnp.max(n2)) & (
+            jnp.cumsum((n2 == jnp.max(n2)).astype(jnp.int32)) == 1
+        )
+        v = jnp.sum(jnp.where(selv[:, None], cs, 0.0), axis=0)
+        n = jnp.linalg.norm(v)
+        e1 = jnp.zeros(3, dtype).at[0].set(1.0)
+        return jnp.where(n > 1e-30, v / jnp.maximum(n, 1e-30), e1), n
+
+    v1, n1 = eigvec(lam1)
+    v3raw, n3 = eigvec(lam3)
+    # Orthogonalize v3 against v1 (crosses of near-degenerate pairs can
+    # leak a v1 component), with an orthonormal-completion fallback when
+    # the pair {lam2, lam3} is (near-)degenerate and the cross vanished.
+    w3 = v3raw - jnp.dot(v1, v3raw) * v1
+    nw3 = jnp.linalg.norm(w3)
+    # Fallback: most-orthogonal coordinate axis completed against v1.
+    k = jnp.argmin(jnp.abs(v1))
+    ek = (jnp.arange(3) == k).astype(dtype)
+    fb = ek - jnp.dot(v1, ek) * v1
+    fb = fb / jnp.maximum(jnp.linalg.norm(fb), 1e-30)
+    v3 = jnp.where(nw3 > 1e-6, w3 / jnp.maximum(nw3, 1e-30), fb)
+    v2 = jnp.cross(v3, v1)
+    vals = jnp.stack([lam1, lam2, lam3])
+    vecs = jnp.stack([v1, v2, v3], axis=1)
+    return vals, vecs
+
+
 def nearest_so3(r_vec: jax.Array) -> jax.Array:
     """Project a 9-vector (column-major 3x3) onto SO(3).
 
@@ -161,17 +239,11 @@ def nearest_so3(r_vec: jax.Array) -> jax.Array:
     m = r_vec.reshape(3, 3).T  # column-major unpack
     hp = jax.lax.Precision.HIGHEST
     a = jnp.matmul(m.T, m, precision=hp)
-    w, v = _jacobi_eigh3(a)
-    sigma = jnp.sqrt(jnp.maximum(w, 0.0))
-
-    # Sort descending with an EVEN permutation (odd ones get their two
-    # largest columns swapped — both well-conditioned) so that V stays a
-    # rotation and the cross-product completion below lands on det(R)=+1.
-    perm = jnp.argsort(-sigma)
-    eps = ((perm[1] - perm[0]) * (perm[2] - perm[1]) * (perm[2] - perm[0])) // 2
-    perm = jnp.where(eps < 0, perm[jnp.array([1, 0, 2])], perm)
-    sigma_s = sigma[perm]
-    v_s = v[:, perm]
+    # Closed-form eigendecomposition, DESCENDING eigenvalues, right-handed
+    # V (det +1 by construction — the role the even-permutation sort
+    # played for the Jacobi variant); ~3x shorter dependency chain than
+    # the 4-sweep Jacobi on this latency-bound stage.
+    _, v_s = _analytic_eigh3(a)
 
     # U columns built from the two LARGEST singular directions,
     # orthonormalized; the third column is their cross product. This is
@@ -512,11 +584,20 @@ def solve_sqpnp(points_3d: jax.Array, points_2d: jax.Array, mask: jax.Array,
         tied = score <= e_min + 3.0 * eps
         plaus = plaus_fn(r_mats, t_all)
         best = jnp.argmin(jnp.where(tied, plaus, jnp.inf))
-    valid = jnp.isfinite(score[best]) & enough
+    # Winner extraction by select-sum, not x[best] gathers: tiny dynamic
+    # gathers take XLA's slow per-element path on TPU (see the one-hot
+    # lookup note in chalkydri_tpu/pipeline.py); a one-hot masked sum of
+    # a single nonzero row is bitwise the same value.
+    sel = jnp.arange(score.shape[0]) == best
+    pick = lambda x: jnp.sum(
+        jnp.where(sel.reshape(sel.shape + (1,) * (x.ndim - 1)), x, 0),
+        axis=0,
+    )
+    valid = jnp.isfinite(pick(score)) & enough
 
     return SqPnPResult(
-        rotation=r_mats[best],
-        translation=t_all[best],
-        energy=pure[best],
+        rotation=pick(r_mats),
+        translation=pick(t_all),
+        energy=pick(pure),
         valid=valid,
     )

@@ -404,7 +404,7 @@ def main() -> None:
 
         cl = Clusters(points=points, mask=mask, count=count, valid=valid,
                       dropped=dropped)
-        return jax.vmap(finish)(gray, cl)
+        return finish(gray, cl)
 
     probe("post_cluster_total", finish_fn,
           (frames, clusters.points, clusters.mask, clusters.count,

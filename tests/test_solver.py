@@ -131,6 +131,58 @@ class TestPrimitives:
             np.testing.assert_allclose(m_ours @ m_ours.T, np.eye(3), atol=1e-12)
             assert np.linalg.det(m_ours) > 0
 
+    def test_nearest_so3_adversarial(self, rng):
+        """The closed-form eigendecomposition inside nearest_so3
+        (sqpnp._analytic_eigh3) against the f64 SVD on the hard classes:
+        rank-1 guesses (routine — the omega eigenvector seeds), rank-0,
+        near-degenerate singular PAIRS, reflections (det < 0), and large
+        scale spreads. Optimality-based check: tr(R^T M) within tolerance
+        of the SVD optimum (for tied singular values the argmax rotation
+        is not unique, so entrywise comparison is ill-posed there)."""
+        cases = []
+        for _ in range(40):
+            cases.append(rng.normal(size=(3, 3)))  # generic
+        for _ in range(20):
+            a, b = rng.normal(size=3), rng.normal(size=3)
+            cases.append(np.outer(a, b))  # rank-1 (candidate guesses)
+        for _ in range(10):
+            u, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+            v, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+            for s in ([2.0, 1.0, 1.0 + 1e-6], [1.0, 1e-7, 1e-7],
+                      [1.0, 1.0, 1.0 - 1e-7]):
+                cases.append(u @ np.diag(s) @ v.T)  # near-degenerate pairs
+        for _ in range(10):
+            q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+            if np.linalg.det(q) > 0:
+                q[:, 0] *= -1.0
+            cases.append(q * rng.uniform(0.1, 10.0))  # reflections
+        cases.append(np.zeros((3, 3)))  # rank-0: any rotation is optimal
+        cases.append(np.eye(3) * 1e-20)
+        for i, m in enumerate(cases):
+            v9 = m.T.reshape(9)  # column-major pack
+            for dt, tol in ((np.float64, 1e-9), (np.float32, 2e-4)):
+                got = np.asarray(
+                    nearest_so3(jnp.asarray(v9, dt))
+                ).reshape(3, 3, order="F").astype(np.float64)
+                # Must be a rotation...
+                np.testing.assert_allclose(
+                    got @ got.T, np.eye(3), atol=30 * tol, err_msg=str(i))
+                assert np.linalg.det(got) > 0, i
+                # ...and optimal: tr(R^T M) == sum of singular values
+                # (up to a sign flip of the smallest when det(M) < 0).
+                u, s, vt = np.linalg.svd(m)
+                opt = s[0] + s[1] + np.sign(np.linalg.det(m)) * s[2]
+                scale = max(np.abs(s).max(), 1e-12)
+                # Singular directions whose lambda = sigma^2 gap sits below
+                # the dtype's eigen-resolution floor cannot be assigned by
+                # ANY eigensolver; misassignment inside such a tied group
+                # costs at most the group's total trace contribution.
+                eps_dt = np.finfo(dt).eps
+                unresolved = s[s < scale * np.sqrt(1e3 * eps_dt)]
+                slack = 60 * tol + 3.0 * unresolved.sum() / scale
+                gap = (opt - np.trace(got.T @ m)) / scale
+                assert gap < slack, (i, dt, gap, slack)
+
     def test_newton_refine_stays_on_so3(self, rng):
         omega = rng.normal(size=(9, 9))
         omega = omega @ omega.T  # PSD
