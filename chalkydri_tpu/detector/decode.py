@@ -162,7 +162,8 @@ def make_decoder(family: TagFamily, bits_corrected: int = 2):
         ham = _popcount32(codes32[..., 0] ^ hi) + _popcount32(codes32[..., 1] ^ lo)
         ham_flat = ham.reshape(-1)  # [N*4]
         best = jnp.argmin(ham_flat)
-        best_ham = ham_flat[best]
+        best_ham = jnp.min(ham_flat)  # == ham_flat[best]; min avoids the
+        #   tiny dynamic gather (XLA's slow per-element path on TPU)
         tag_id = (best // 4).astype(jnp.int32)
         rot = (best % 4).astype(jnp.int32)
 
@@ -177,7 +178,9 @@ def make_decoder(family: TagFamily, bits_corrected: int = 2):
         rolled = jnp.stack(
             [jnp.roll(corners, 2 - r, axis=0) for r in range(4)]
         )  # [4, 4, 2]
-        corners_out = rolled[rot]
+        selr = jnp.arange(4) == rot  # one-hot select, not a dynamic gather
+        corners_out = jnp.sum(
+            jnp.where(selr[:, None, None], rolled, 0.0), axis=0)
 
         return Decoded(
             tag_id=jnp.where(ok, tag_id, -1),

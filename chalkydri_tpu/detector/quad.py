@@ -85,23 +85,6 @@ def _intersect_batched(c1x, c1y, n1x, n1y, c2x, c2y, n2x, n2y):
     return x, y
 
 
-def _line_fit(px, py, w):
-    """Single weighted PCA line fit (used by refine.py). Returns
-    (cx, cy, nx, ny, rms)."""
-    cx, cy, nx, ny, rms = _line_fits_batched(
-        px[None, :], py[None, :], w[None, None, :]
-    )
-    return cx[0, 0], cy[0, 0], nx[0, 0], ny[0, 0], rms[0, 0]
-
-
-def _intersect(c1x, c1y, n1x, n1y, c2x, c2y, n2x, n2y):
-    """Single line-pair intersection (used by refine.py). Returns (x, y,
-    degenerate)."""
-    det = n1x * n2y - n1y * n2x
-    x, y = _intersect_batched(c1x, c1y, n1x, n1y, c2x, c2y, n2x, n2y)
-    return x, y, jnp.abs(det) < 1e-9
-
-
 def _fit_quads_core(points: jax.Array, mask: jax.Array, fit_iters: int):
     """points [4, K, P] channel-first (x, y, gx, gy — see cluster.Clusters),
     mask [K, P] -> (corners [K, 4, 2], valid [K])."""

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from chalkydri_tpu.detector.homography import bilinear_sample
-from chalkydri_tpu.detector.quad import _intersect, _line_fit
+from chalkydri_tpu.detector.quad import _intersect_batched, _line_fits_batched
 
 N_SAMPLES = 8  # points per edge
 N_WALK = 9  # samples along the normal
@@ -89,22 +89,26 @@ def refine_quads(
     ax = px + offset * nx[:, :, None]
     ay = py + offset * ny[:, :, None]  # adjusted points [K, 4, S]
 
-    def refine_one(axk, ayk, confk, old_corners):
-        fits = [
-            _line_fit(axk[e], ayk[e], confk[e]) for e in range(4)
-        ]  # per edge: (cx, cy, nx, ny, rms)
-        new_c = []
-        for e in range(4):
-            pcx, pcy, pnx, pny, _ = fits[(e - 1) % 4]
-            ccx, ccy, cnx, cny, _ = fits[e]
-            x, y, deg = _intersect(pcx, pcy, pnx, pny, ccx, ccy, cnx, cny)
-            new_c.append(jnp.stack([x, y]))
-        new_corners = jnp.stack(new_c)
-        # Guard: refinement must not move a corner more than the walk range
-        # (+1 px slack); otherwise keep the original.
-        delta = jnp.linalg.norm(new_corners - old_corners, axis=-1)
-        ok = (delta < walk_range + 1.0)[:, None] & jnp.isfinite(new_corners)
-        return jnp.where(ok, new_corners, old_corners)
-
-    refined = jax.vmap(refine_one)(ax, ay, conf, corners)
+    # All K x 4 edge line fits in ONE batched call (each edge has its own
+    # sample points, so edges fold into the cluster axis with a singleton
+    # edge dim) — per-edge Python-loop fits were ~4x the sequential tiny-op
+    # chain on this latency-bound stage.
+    fcx, fcy, fnx, fny, _ = _line_fits_batched(
+        ax.reshape(k * 4, n_samples),
+        ay.reshape(k * 4, n_samples),
+        conf.reshape(k * 4, 1, n_samples),
+    )  # each [K*4, 1]
+    fcx, fcy, fnx, fny = (
+        f.reshape(k, 4) for f in (fcx, fcy, fnx, fny)
+    )
+    # corner e = intersection of edge (e-1) and edge e
+    pcx, pcy = jnp.roll(fcx, 1, axis=1), jnp.roll(fcy, 1, axis=1)
+    pnx, pny = jnp.roll(fnx, 1, axis=1), jnp.roll(fny, 1, axis=1)
+    x, y = _intersect_batched(pcx, pcy, pnx, pny, fcx, fcy, fnx, fny)
+    new_corners = jnp.stack([x, y], axis=-1)  # [K, 4, 2]
+    # Guard: refinement must not move a corner more than the walk range
+    # (+1 px slack); otherwise keep the original.
+    delta = jnp.linalg.norm(new_corners - corners, axis=-1)
+    ok = (delta < walk_range + 1.0)[..., None] & jnp.isfinite(new_corners)
+    refined = jnp.where(ok, new_corners, corners)
     return jnp.where(valid[:, None, None], refined, corners)

@@ -183,6 +183,30 @@ class TestPrimitives:
                 gap = (opt - np.trace(got.T @ m)) / scale
                 assert gap < slack, (i, dt, gap, slack)
 
+    def test_parallel_jacobi_eigh(self, rng):
+        """_jacobi_eigh_small (parallel round-robin Jacobi) against
+        numpy's eigh on random symmetric PSD matrices of every size the
+        solver uses it at (the 5x5 Rayleigh-Ritz today; 3/9 guard the
+        schedule generator's odd/even paths)."""
+        from chalkydri_tpu.solver.sqpnp import _jacobi_eigh_small
+
+        # Default sweeps are sized for n <= 6 (the 5x5 Rayleigh-Ritz is
+        # the only production call); larger matrices need more sweeps —
+        # the n=9 case guards the even/odd schedule generator.
+        for n, sweeps in ((3, 5), (5, 5), (6, 5), (9, 8)):
+            for _ in range(10):
+                m = rng.normal(size=(n, n))
+                a = m @ m.T
+                w, v = _jacobi_eigh_small(jnp.asarray(a), sweeps=sweeps)
+                w, v = np.asarray(w), np.asarray(v)
+                # Eigen residual A v = w v (basis-independent; default
+                # sweeps target below-f32-eps residuals, see docstring)
+                res = np.abs(a @ v - v * w[None, :]).max() / np.abs(a).max()
+                assert res < 5e-7, (n, res)
+                np.testing.assert_allclose(v @ v.T, np.eye(n), atol=1e-6)
+                np.testing.assert_allclose(
+                    np.sort(w), np.linalg.eigvalsh(a), rtol=1e-6, atol=1e-9)
+
     def test_newton_refine_stays_on_so3(self, rng):
         omega = rng.normal(size=(9, 9))
         omega = omega @ omega.T  # PSD
