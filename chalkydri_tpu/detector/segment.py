@@ -61,6 +61,18 @@ def _shift2d(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
 _OFFSETS_ALL = ((0, 1), (0, -1), (1, 0), (-1, 0))
 _OFFSETS_WHITE = ((1, 1), (1, -1), (-1, 1), (-1, -1))
 
+# The per-round neighbor-min only needs the DIAGONAL offsets: a same-value
+# 4-conn row neighbor is by definition in the same row run, so the row
+# segmented scan already delivers at least that neighbor's label (run min
+# <= adjacent element); likewise the column scan for (+-1, 0). Dropping
+# the four subsumed shifts cuts the round cost with the same fixed points
+# (any state consistent across diagonal edges AND stable under both scans
+# is constant on components, and the round stays monotone), which is what
+# the scipy-equivalence and corpus tests pin. The full 8-offset set is
+# kept for consumers that need a one-shot consistency CERTIFICATE over
+# every edge class (the blocked kernel's re-bracketed convergence test,
+# ops/pallas/ccl_kernel.py _ccl_from_val(final_cond=True)).
+
 
 def _segmented_min_scan(labels: jax.Array, val: jax.Array, axis: int) -> jax.Array:
     """Min-scan labels along ``axis``, resetting where the binary value
@@ -90,15 +102,21 @@ def _segmented_min_scan(labels: jax.Array, val: jax.Array, axis: int) -> jax.Arr
     return jnp.minimum(fwd, bwd)
 
 
-def _connectivity_masks(val: jax.Array, valid: jax.Array):
+def _connectivity_masks(val: jax.Array, valid: jax.Array, full: bool = False):
     """Per-offset same-value connectivity masks. These are invariant across
     propagation rounds — computing them once (instead of re-shifting and
-    comparing the value image every round) cuts the round cost materially."""
+    comparing the value image every round) cuts the round cost materially.
+
+    ``full=False`` (the propagation default) emits only the white-diagonal
+    masks — the 4-conn offsets are subsumed by the segmented scans (see the
+    offset-table comment). ``full=True`` adds them back for edge-complete
+    consistency checks."""
     masks = []
     is_white = val == 255
-    for dy, dx in _OFFSETS_ALL:
-        nv = _shift2d(val, dy, dx, jnp.uint8(127))
-        masks.append(((dy, dx), (nv == val) & valid))
+    if full:
+        for dy, dx in _OFFSETS_ALL:
+            nv = _shift2d(val, dy, dx, jnp.uint8(127))
+            masks.append(((dy, dx), (nv == val) & valid))
     for dy, dx in _OFFSETS_WHITE:
         nv = _shift2d(val, dy, dx, jnp.uint8(127))
         masks.append(((dy, dx), (nv == val) & valid & is_white))
