@@ -47,9 +47,15 @@ MIN_CLUSTER_POINTS = 24  # smaller clusters can't be a tag border
 MIN_SAME_NEIGHBORS = 2  # speckle gate (see module docstring)
 # Compaction keeps COMPACT_SLACK * max_points/128 ranked blocks per frame
 # (split over the two directions); the kept rows are what the cluster
-# sort pays for, so this is the sort-width / robustness dial. See
-# compact_candidates for the measured history.
-COMPACT_SLACK = 2
+# sort pays for, so this is the sort-width / robustness dial. The 2x
+# setting dated from ROW-MAJOR blocking, where tag side edges occupied
+# one block per 1-2 candidates; orientation-aligned blocking
+# (_compact_blocks) packs those ~64x denser, and the adversarial corpus
+# (directional floods, 46k-candidate noise scenes, full-res clean tags)
+# passes with zero additional drops at 1.5x — which cuts the dominant
+# cluster-sort width by a quarter. See compact_candidates for the
+# measured history.
+COMPACT_SLACK = 1.5
 
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
@@ -604,15 +610,16 @@ def compact_candidates(black: jax.Array, white: jax.Array,
 
     The compaction rationale: the dominant cost of the cluster stage was a
     512k-row sort; compacting to the occupied blocks first cuts the sort
-    (and every scan after it) toward max_points rows. Round 2 selected
-    2x max_points of blocks as slack for sparse-but-real border blocks;
-    shrinking it was measured NOT safe: 1.5x already drops noisy-scene
-    corpus detections (golden/aruco parity) and 1x loses adversarial
-    corner tags, so the 2x slack stays."""
+    (and every scan after it) toward max_points rows. Under ROW-MAJOR
+    blocking, round 3 measured 1.5x slack dropping noisy-scene corpus
+    detections (tag side edges occupied one block per 1-2 candidates);
+    orientation-aligned blocking packs those ~64x denser and the same
+    corpus passes at 1.5x with zero extra drops (1x still loses
+    adversarial corner tags — COMPACT_SLACK)."""
     dropped = jnp.int32(0)
     if black.shape[0] > max_points:
         black, white, payload, dropped = _compact_blocks(
-            black, white, payload, COMPACT_SLACK * max_points, width,
+            black, white, payload, int(COMPACT_SLACK * max_points), width,
         )
     return black, white, payload, dropped
 

@@ -299,7 +299,7 @@ def _make_spatial_step(
             hp = -(-h2 // 128) * 128
             wp = -(-w2 // 128) * 128
             n_rb, nbw = hp // 128, wp // 128
-            cap = COMPACT_SLACK * edge_cap
+            cap = int(COMPACT_SLACK * edge_cap)
 
             has0 = (black[:, :n_seg] != int_max).reshape(bl, hl2, w2)
             has1 = (black[:, n_seg:] != int_max).reshape(bl, hl2, w2)

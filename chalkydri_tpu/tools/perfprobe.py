@@ -244,7 +244,7 @@ def main() -> None:
             if black.shape[0] > MAX_EDGE_POINTS:
                 return _compact_blocks(
                     black, white, payload,
-                    COMPACT_SLACK * MAX_EDGE_POINTS, frame_w)
+                    int(COMPACT_SLACK * MAX_EDGE_POINTS), frame_w)
             return black, white, payload, jnp.int32(0)
 
         return jax.vmap(one)(tern, labels)
