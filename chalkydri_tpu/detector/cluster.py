@@ -47,15 +47,13 @@ MIN_CLUSTER_POINTS = 24  # smaller clusters can't be a tag border
 MIN_SAME_NEIGHBORS = 2  # speckle gate (see module docstring)
 # Compaction keeps COMPACT_SLACK * max_points/128 ranked blocks per frame
 # (split over the two directions); the kept rows are what the cluster
-# sort pays for, so this is the sort-width / robustness dial. The 2x
-# setting dated from ROW-MAJOR blocking, where tag side edges occupied
-# one block per 1-2 candidates; orientation-aligned blocking
-# (_compact_blocks) packs those ~64x denser, and the adversarial corpus
-# (directional floods, 46k-candidate noise scenes, full-res clean tags)
-# passes with zero additional drops at 1.5x — which cuts the dominant
-# cluster-sort width by a quarter. See compact_candidates for the
-# measured history.
-COMPACT_SLACK = 1.5
+# sort pays for, so this is the sort-width / robustness dial. See
+# compact_candidates for the measured history. Round-4 note: a 2 -> 1.5
+# cut was tried and REVERTED — it drops 133 candidates on the full-res
+# (1304x1600, quad_decimate=1) clean-tag scene the capacity test pins
+# (tests/test_detector.py::TestAdversarialCapacity), i.e. the zero-drop
+# margin is gone even with orientation-aligned blocking. 2x stays.
+COMPACT_SLACK = 2
 
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
@@ -610,12 +608,11 @@ def compact_candidates(black: jax.Array, white: jax.Array,
 
     The compaction rationale: the dominant cost of the cluster stage was a
     512k-row sort; compacting to the occupied blocks first cuts the sort
-    (and every scan after it) toward max_points rows. Under ROW-MAJOR
-    blocking, round 3 measured 1.5x slack dropping noisy-scene corpus
-    detections (tag side edges occupied one block per 1-2 candidates);
-    orientation-aligned blocking packs those ~64x denser and the same
-    corpus passes at 1.5x with zero extra drops (1x still loses
-    adversarial corner tags — COMPACT_SLACK)."""
+    (and every scan after it) toward max_points rows. Round 2 selected
+    2x max_points of blocks as slack for sparse-but-real border blocks;
+    shrinking it was measured NOT safe: 1.5x drops full-res clean-tag
+    candidates (133 at 1304x1600) and noisy-scene corpus detections, and
+    1x loses adversarial corner tags, so the 2x slack stays."""
     dropped = jnp.int32(0)
     if black.shape[0] > max_points:
         black, white, payload, dropped = _compact_blocks(

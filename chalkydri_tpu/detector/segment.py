@@ -61,17 +61,14 @@ def _shift2d(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
 _OFFSETS_ALL = ((0, 1), (0, -1), (1, 0), (-1, 0))
 _OFFSETS_WHITE = ((1, 1), (1, -1), (-1, 1), (-1, -1))
 
-# The per-round neighbor-min only needs the DIAGONAL offsets: a same-value
-# 4-conn row neighbor is by definition in the same row run, so the row
-# segmented scan already delivers at least that neighbor's label (run min
-# <= adjacent element); likewise the column scan for (+-1, 0). Dropping
-# the four subsumed shifts cuts the round cost with the same fixed points
-# (any state consistent across diagonal edges AND stable under both scans
-# is constant on components, and the round stays monotone), which is what
-# the scipy-equivalence and corpus tests pin. The full 8-offset set is
-# kept for consumers that need a one-shot consistency CERTIFICATE over
-# every edge class (the blocked kernel's re-bracketed convergence test,
-# ops/pallas/ccl_kernel.py _ccl_from_val(final_cond=True)).
+# NOTE (round-4 revert): an attempt to drop the 4-conn offsets from the
+# per-round neighbor-min on the argument that the row/col segmented scans
+# subsume them was WRONG — the scans reset at value-run boundaries, so a
+# same-value 4-conn neighbor across a 1-pixel jog is NOT guaranteed to be
+# reached within the same iteration budget, and label propagation slows
+# enough to miss convergence on real scenes (aruco corpus fell 84/84 ->
+# 72/84 matches and the full-res clean-tag scene dropped 133 candidates).
+# The neighbor-min must keep all 8 offsets.
 
 
 def _segmented_min_scan(labels: jax.Array, val: jax.Array, axis: int) -> jax.Array:
@@ -102,21 +99,15 @@ def _segmented_min_scan(labels: jax.Array, val: jax.Array, axis: int) -> jax.Arr
     return jnp.minimum(fwd, bwd)
 
 
-def _connectivity_masks(val: jax.Array, valid: jax.Array, full: bool = False):
+def _connectivity_masks(val: jax.Array, valid: jax.Array):
     """Per-offset same-value connectivity masks. These are invariant across
     propagation rounds — computing them once (instead of re-shifting and
-    comparing the value image every round) cuts the round cost materially.
-
-    ``full=False`` (the propagation default) emits only the white-diagonal
-    masks — the 4-conn offsets are subsumed by the segmented scans (see the
-    offset-table comment). ``full=True`` adds them back for edge-complete
-    consistency checks."""
+    comparing the value image every round) cuts the round cost materially."""
     masks = []
     is_white = val == 255
-    if full:
-        for dy, dx in _OFFSETS_ALL:
-            nv = _shift2d(val, dy, dx, jnp.uint8(127))
-            masks.append(((dy, dx), (nv == val) & valid))
+    for dy, dx in _OFFSETS_ALL:
+        nv = _shift2d(val, dy, dx, jnp.uint8(127))
+        masks.append(((dy, dx), (nv == val) & valid))
     for dy, dx in _OFFSETS_WHITE:
         nv = _shift2d(val, dy, dx, jnp.uint8(127))
         masks.append(((dy, dx), (nv == val) & valid & is_white))

@@ -247,26 +247,17 @@ def _ccl_from_val(val, h, w, iters, offsets, labels0=None,
     use_packed = flat_labels and (label_bits + seg_bits) <= 31
 
     is_white = val == 255
-    # Neighbor-min offset set: with the plain bracket (final_cond=False)
-    # only the white-diagonal offsets are needed — a same-value 4-conn
-    # neighbor along an axis is in the same run, so that axis's segmented
-    # scan already delivers at least its label (detector/segment.py offset
-    # table has the proof sketch; fixed points are identical and the jnp
-    # path drops the same four shifts, keeping bit-parity). The
-    # re-bracketed loop (final_cond=True) keeps all 8: its early-exit test
-    # nm(L) == L is a consistency CERTIFICATE over every edge class, and
-    # diagonal-only consistency of a post-scan state does NOT imply
-    # row/col-edge consistency (the scans run before the next test).
-    nm_offsets = list(offsets) if final_cond else [
-        o for o in offsets if o[0] and o[1]
-    ]
+    # NOTE (round-4 revert): the neighbor-min keeps ALL 8 offsets. A
+    # round-3 attempt to drop the 4-conn offsets (claiming the segmented
+    # scans subsume them) regressed real scenes — scans reset at value-run
+    # boundaries, so axis-adjacent propagation across jogs is not covered
+    # within the iteration budget (aruco corpus 84 -> 72 matches).
     bits = jnp.zeros((h, w), jnp.int32)
-    # bits 0..len(nm_offsets)-1: connectivity per neighbor-min offset
-    # (diagonals white-only)
-    for i, (dy, dx) in enumerate(nm_offsets):
+    # bits 0..7: connectivity per offset (4-conn all, diagonals white-only)
+    for i, (dy, dx) in enumerate(offsets):
         nv = _shift_no_wrap(val, dy, dx, jnp.int32(127), row_idx, col_idx, h, w)
         same = (nv == val) & valid
-        if dy and dx:
+        if i >= 4:
             same = same & is_white
         bits = bits | (same.astype(jnp.int32) << i)
 
@@ -293,7 +284,7 @@ def _ccl_from_val(val, h, w, iters, offsets, labels0=None,
 
     def neighbor_min(labels):
         m = labels
-        for i, (dy, dx) in enumerate(nm_offsets):
+        for i, (dy, dx) in enumerate(offsets):
             nl = _shift_no_wrap(labels, dy, dx, INVALID, row_idx, col_idx, h, w)
             same = (bits >> i) & 1
             m = jnp.minimum(m, jnp.where(same == 1, nl, INVALID))
