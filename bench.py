@@ -154,30 +154,65 @@ def bench_cpu_reference(frame):
     return max(batch_fps), batch_fps
 
 
-def _check_device_reachable(timeout_s: float = 180.0) -> None:
-    """Fail fast (exit 2) when the TPU transport is down: backend init has
-    no timeout of its own, and a silently hung bench records nothing."""
-    import threading
+_PROBE_CODE = (
+    "import jax, jax.numpy as jnp;"
+    "float(jnp.sum(jax.jit(lambda a: a @ a)(jnp.ones((8, 8)))));"
+    "print(jax.devices()[0])"
+)
 
-    ok = []
 
-    def probe():
-        import jax
-        import jax.numpy as jnp
+def _wait_device_reachable(attempts: int = 3, probe_timeout_s: float = 120.0,
+                           backoff_s: tuple = (30.0, 60.0)) -> None:
+    """Wait for the TPU transport with bounded retries, then fail (exit 2).
 
-        float(jnp.sum(jax.jit(lambda a: a @ a)(jnp.ones((8, 8)))))
-        ok.append(jax.devices()[0])
+    Round-3 lesson: a single in-process fail-fast probe turned one transient
+    tunnel outage into a lost round of perf evidence (BENCH_r03.json is a
+    device-unreachable record; VERDICT round 3). A hung PJRT backend init
+    can't be retried in-process — the first init attempt poisons the
+    process — so each probe runs in a SUBPROCESS that can be killed on
+    timeout, and only after one succeeds does this process touch JAX."""
+    import subprocess
 
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if not ok:
-        print(
-            json.dumps({"error": "device unreachable",
-                        "detail": f"backend init exceeded {timeout_s:.0f}s"}),
-            file=sys.stderr,
-        )
-        os._exit(2)
+    last = "no attempt"
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_CODE],
+                capture_output=True, text=True, timeout=probe_timeout_s,
+                env=os.environ.copy(),
+            )
+            if r.returncode == 0:
+                print(f"# device probe ok: {r.stdout.strip()}", file=sys.stderr)
+                return
+            last = (r.stderr.strip() or "probe failed")[-300:]
+        except subprocess.TimeoutExpired:
+            last = f"backend init exceeded {probe_timeout_s:.0f}s"
+        if i < attempts - 1:
+            wait = backoff_s[min(i, len(backoff_s) - 1)]
+            print(f"# device probe attempt {i + 1}/{attempts} failed "
+                  f"({last}); retrying in {wait:.0f}s", file=sys.stderr)
+            time.sleep(wait)
+    print(
+        json.dumps({"error": "device unreachable",
+                    "detail": f"{attempts} probe attempts failed; last: {last}"}),
+        file=sys.stderr,
+    )
+    os._exit(2)
+
+
+def _enable_persistent_cache() -> None:
+    """Warm-start compiles from the same persistent cache main.py uses, so a
+    bench rerun (or a retry after an outage) skips the ~30-60 s compile."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "CHALKYDRI_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "chalkydri-tpu"),
+    )
+    if cache_dir and cache_dir.lower() != "none":
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
@@ -187,7 +222,8 @@ def main():
     # Denominator first: JAX/TPU init and compilation load the host; the
     # CPU reference must see a quiet machine.
     cpu_fps, cpu_samples = bench_cpu_reference(frame)
-    _check_device_reachable()
+    _wait_device_reachable()
+    _enable_persistent_cache()
     tpu_fps, n_det, dev = bench_tpu(frames)
 
     mean = sum(cpu_samples) / len(cpu_samples)
