@@ -117,6 +117,28 @@ class Rerun:
 
 
 @dataclass
+class MeshCfg:
+    """Device-mesh topology for the fused vision programs.
+
+    The reference's scaling surface is graph topology in configuration
+    (``chalkydri.ron:1-157`` — chains per camera); the TPU analogue is the
+    device mesh, so it is configuration too:
+
+        [mesh]
+        data = 4    # camera/frame data-parallel axis
+        space = 2   # row-sharding (sequence-parallel) axis for big frames
+
+    ``data * space`` chips are claimed. With ``space > 1`` each frame's
+    rows additionally span the 'space' axis end to end (ICI halo/seam
+    exchange; parallel/pipeline.py). ``data = 1, space = 1`` (default) is
+    the single-device program.
+    """
+
+    data: int = 1
+    space: int = 1
+
+
+@dataclass
 class CustomSubsystem:
     code: str = ""
 
@@ -131,6 +153,7 @@ class Config:
     field_layout: Optional[str] = None
     field_layouts: Optional[dict[str, Any]] = None
     custom_subsystems: dict[str, CustomSubsystem] = field(default_factory=dict)
+    mesh: Optional[MeshCfg] = None
 
     # -- (de)serialization --------------------------------------------------
 
@@ -202,6 +225,7 @@ class Config:
             field_layout=d.get("field_layout"),
             field_layouts=d.get("field_layouts"),
             custom_subsystems=custom,
+            mesh=opt(MeshCfg, d.get("mesh")),
         )
 
     @staticmethod

@@ -91,6 +91,7 @@ def main(argv=None) -> int:
         logger=logger,
         ntables_ip=config.ntables_ip,
         device_name=config.device_name or "chalkydri-tpu",
+        mesh=config.mesh,
     )
 
     # Driver-station MJPEG preview (the reference's MjpegProc/Monitor role):
