@@ -1,6 +1,8 @@
 """Detector tests: per-stage golden checks on rendered synthetic scenes and
 end-to-end ID/corner parity against ground truth (SURVEY.md section 4)."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -912,37 +914,11 @@ class TestArucoParityCorpus:
     N_SCENES = 56
 
     def _corpus(self):
-        from scipy import ndimage
+        # Shared with the golden-corpus generator (tests/golden/gen_golden.py)
+        # so the checked-in golden file pins exactly these scenes.
+        from tests.reference_impl.corpus import build_parity_corpus
 
-        rng = np.random.default_rng(20260816)
-        scenes = []
-        for i in range(self.N_SCENES):
-            slots = [(170.0, 240.0), (470.0, 240.0)]
-            n_tags = int(rng.integers(1, 3))
-            placed, used = [], set()
-            for k in range(n_tags):
-                tid = int(rng.integers(0, 587))
-                while tid in used:
-                    tid = int(rng.integers(0, 587))
-                used.add(tid)
-                cx = slots[k][0] + float(rng.uniform(-25, 25))
-                cy = slots[k][1] + float(rng.uniform(-50, 50))
-                half = float(rng.uniform(40, 75))
-                base = axis_aligned_corners(cx, cy, half)
-                base = base + rng.uniform(-0.18 * half, 0.18 * half, (4, 2))
-                placed.append((tid, base.astype(np.float32)))
-            canvas, gts = simple_scene(FAM, placed, seed=1000 + i)
-            blur = float(rng.uniform(0.0, 1.1))
-            if blur > 0.2:
-                canvas = ndimage.gaussian_filter(
-                    canvas.astype(np.float32), blur
-                )
-            noise = float(rng.uniform(0.0, 5.0))
-            if noise > 0:
-                canvas = canvas + rng.normal(0, noise, canvas.shape)
-            canvas = np.clip(canvas, 0, 255).astype(np.uint8)
-            scenes.append((canvas, gts))
-        return scenes
+        return build_parity_corpus(self.N_SCENES)
 
     def test_corpus_vs_aruco(self):
         cv2 = pytest.importorskip("cv2")
@@ -999,6 +975,74 @@ class TestArucoParityCorpus:
         assert np.quantile(corner_rms, 0.9) < 1.6
         gt_err = np.array(gt_err)
         assert np.median(gt_err) < 0.3, f"median err vs ground truth {np.median(gt_err):.3f}"
+
+    def test_corpus_vs_golden_refined(self):
+        """Parity vs the CHECKED-IN golden corpus
+        (tests/golden/aruco_apriltag_refine.json): ids + corners from
+        cv2.aruco with CORNER_REFINE_APRILTAG — OpenCV's implementation of
+        libapriltag's corner refinement, the closest obtainable oracle to
+        the reference's umich libapriltag (apriltag-sys,
+        crates/apriltags/Cargo.toml:10-11; the C library itself is not
+        installable in this image — see tests/golden/gen_golden.py).
+        Checked in so an OpenCV upgrade can't silently move the goalposts.
+
+        Also pins the decision-margin DISTRIBUTION on matched tags: the
+        corpus renders full-contrast tags, where libapriltag's margin
+        (mean |sample - local threshold| over data cells, intensity
+        units) sits near half the dynamic range (~127); mild blur/noise
+        must not collapse it. User thresholds written for libapriltag
+        (filtered_by_decision_margin, crates/apriltags/src/lib.rs:127-141)
+        rely on this scale."""
+        import json as _json
+
+        golden_path = os.path.join(
+            os.path.dirname(__file__), "golden", "aruco_apriltag_refine.json"
+        )
+        with open(golden_path) as f:
+            golden = _json.load(f)
+
+        scenes = self._corpus()
+        assert len(golden["scenes"]) == len(scenes)
+        frames = jnp.asarray(np.stack([c for c, _ in scenes]))
+        out = make_detector()(frames)
+        ids_np = np.asarray(out.ids)
+        corners_np = np.asarray(out.corners)
+        valid_np = np.asarray(out.valid)
+        marg_np = np.asarray(out.decision_margins)
+
+        n_oracle = n_matched = 0
+        rms, margins = [], []
+        for s, entry in enumerate(golden["scenes"]):
+            ours = {
+                int(ids_np[s, i]): (corners_np[s, i], float(marg_np[s, i]))
+                for i in np.where(valid_np[s])[0]
+            }
+            for det in entry["detections"]:
+                n_oracle += 1
+                if det["id"] not in ours:
+                    continue
+                n_matched += 1
+                oc, mg = ours[det["id"]]
+                tc = np.asarray(det["corners"])
+                dists = np.linalg.norm(
+                    tc[:, None, :] - oc[None, :, :], axis=-1
+                )
+                rms.append(np.sqrt((dists.min(axis=1) ** 2).mean()))
+                margins.append(mg)
+
+        assert n_oracle >= 50, f"golden has only {n_oracle} detections"
+        rate = n_matched / n_oracle
+        assert rate >= 0.95, f"matched {n_matched}/{n_oracle} of golden"
+        rms = np.array(rms)
+        assert np.median(rms) < 1.0, f"median RMS vs golden {np.median(rms):.3f}"
+        assert np.quantile(rms, 0.9) < 1.6
+        # Margin distribution: full-contrast corpus tags must hold the
+        # libapriltag unit scale (~half range) through the corpus's
+        # blur/noise levels. Measured band: [125.0, 127.3].
+        margins = np.array(margins)
+        assert margins.min() > 100.0, f"margin floor {margins.min():.1f}"
+        assert 110.0 < np.median(margins) <= 128.0
+        assert margins.max() <= 128.0  # mean |s - t| can't exceed range/2
 
     def test_decision_margin_scale(self):
         """decision_margin rides libapriltag's scale: mean |sample - local
