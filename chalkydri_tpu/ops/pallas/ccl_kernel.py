@@ -904,11 +904,23 @@ def _make_fused_blocked_kernel(hb, wp, k, h_true, w_true, iters, min_diff):
         val = jnp.where(contrast < min_diff, jnp.int32(127), val)
         val = jnp.where(valid_px, val, jnp.int32(127))
         tern_ref[:] = val.astype(jnp.uint8)
-        gflat = grow * wp + col_idx
+        # Round 0 propagates BLOCK-LOCAL flat labels (labels0=None) so the
+        # PACKED segmented scans engage (~2x fewer VPU ops per scan step
+        # than the tuple path): local labels need ceil(log2(hb*wp)) bits
+        # (<= 20 for 512k-px blocks) + seg bits <= 11, inside the 31-bit
+        # packing budget, while global labels (21+ bits) are not. The
+        # global labeling is recovered AFTER propagation by adding the
+        # block's constant offset: every label in the block carries the
+        # same offset, and min-propagation commutes with adding a
+        # constant, so offset(min-fixed-point(local)) ==
+        # min-fixed-point(offset(local)) — the exact labeling
+        # label_components_blocked_pallas initializes globally.
         labels, conv = _ccl_from_val(val, hb, wp, iters, offsets,
-                                     labels0=gflat, want_converged=True,
+                                     want_converged=True,
                                      final_cond=BLOCKED_FINAL_COND)
-        labels_ref[:] = labels
+        labels_ref[:] = jnp.where(
+            labels == INVALID, INVALID, labels + blk * hb * wp
+        )
         conv_ref[:] = jnp.full((8, 128), conv, jnp.int32)
 
     return kernel
@@ -919,41 +931,68 @@ def _blocked_boundary_rows(gray_p, h_true, w_true, hb):
     col-dilated tile-stat rows it needs from its row neighbors, at pixel
     lane resolution. gray_p [B, hp, wp] u8 (padded) -> [B*k, 8, wp] i32
     (rows 0-3 = min_top, max_top, min_bot, max_bot; 4-7 unused padding to
-    the sublane tile). Tile-resolution work only — ~1/16 of the frame."""
+    the sublane tile).
+
+    Only the 8 pixel rows STRADDLING each seam contribute (the tile row
+    just above and just below it), so the stats are computed on a
+    [B, 8*(k-1), wp] strip of static row slices instead of the whole
+    frame — the full-frame version measured 1.11 ms at 1304x1600 batch-2
+    on v5e for what is ~32 rows of real work. Column dilation is along
+    the lane axis only, so stacking seam strips in the row axis cannot
+    leak stats across seams; exactness vs the jnp threshold is pinned by
+    the fused-threshold bitwise tests."""
+    import numpy as _np
+
     b, hp, wp = gray_p.shape
     k = hp // hb
-    tb = hb // 4
-    g = gray_p.astype(jnp.int32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (b, hp, wp), 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (b, hp, wp), 2)
-    valid = (rows < h_true) & (cols < w_true)
-    gmin = jnp.where(valid, g, jnp.int32(255))
-    gmax = jnp.where(valid, g, jnp.int32(0))
+    w4 = wp // 4
+    i32 = jnp.int32
+    if k <= 1:
+        return jnp.concatenate(
+            [jnp.full((b, 1, wp), 255, i32), jnp.zeros((b, 1, wp), i32),
+             jnp.full((b, 1, wp), 255, i32), jnp.zeros((b, 1, wp), i32),
+             jnp.zeros((b, 4, wp), i32)], axis=1,
+        )
+    # Seam strip: for seam s (between blocks s-1 and s), pixel rows
+    # [s*hb-4, s*hb+4) — tile rows s*tb-1 (above) and s*tb (below).
+    strip = jnp.concatenate(
+        [gray_p[:, s * hb - 4: s * hb + 4, :] for s in range(1, k)], axis=1
+    ).astype(i32)
+    row_ids = _np.array(
+        [s * hb - 4 + r for s in range(1, k) for r in range(8)]
+    )
+    valid_row = jnp.asarray(row_ids < h_true)  # [8(k-1)]
+    col_ok = (
+        jax.lax.broadcasted_iota(i32, (1, 1, wp), 2) < w_true
+    )
+    valid = valid_row[None, :, None] & col_ok
+    gmin = jnp.where(valid, strip, i32(255))
+    gmax = jnp.where(valid, strip, i32(0))
     # reduce_window, NOT the 5-D reshape reduction: a size-4 dim in the
     # lane axis costs ~4x on v5e (docs/performance.md lesson sheet).
     tile4 = dict(window_dimensions=(1, 4, 4), window_strides=(1, 4, 4),
                  padding="VALID")
-    tmin = jax.lax.reduce_window(gmin, jnp.int32(255), jax.lax.min, **tile4)
-    tmax = jax.lax.reduce_window(gmax, jnp.int32(0), jax.lax.max, **tile4)
+    tmin = jax.lax.reduce_window(gmin, i32(255), jax.lax.min, **tile4)
+    tmax = jax.lax.reduce_window(gmax, i32(0), jax.lax.max, **tile4)
     pad3 = [(0, 0), (0, 0), (1, 1)]
     cmin = jax.lax.reduce_window(
-        tmin, jnp.int32(255), jax.lax.min, (1, 1, 3), (1, 1, 1), pad3)
+        tmin, i32(255), jax.lax.min, (1, 1, 3), (1, 1, 1), pad3)
     cmax = jax.lax.reduce_window(
-        tmax, jnp.int32(0), jax.lax.max, (1, 1, 3), (1, 1, 1), pad3)
+        tmax, i32(0), jax.lax.max, (1, 1, 3), (1, 1, 1), pad3)
+    # cmin/cmax rows: [2s] = above seam s+1, [2s+1] = below seam s+1.
+    above = slice(0, 2 * (k - 1), 2)
+    below = slice(1, 2 * (k - 1), 2)
 
-    def pick(arr, idxs, fill, at_front):
-        sel = arr[:, idxs] if len(idxs) else jnp.zeros(
-            (b, 0, wp // 4), arr.dtype)
-        edge = jnp.full((b, 1, wp // 4), fill, arr.dtype)
+    def pick(arr, rows, fill, at_front):
+        sel = arr[:, rows]
+        edge = jnp.full((b, 1, w4), fill, arr.dtype)
         parts = [edge, sel] if at_front else [sel, edge]
         return jnp.concatenate(parts, axis=1)  # [b, k, wp/4]
 
-    top_idx = [i * tb - 1 for i in range(1, k)]
-    bot_idx = [(i + 1) * tb for i in range(k - 1)]
-    min_top = pick(cmin, top_idx, 255, True)
-    max_top = pick(cmax, top_idx, 0, True)
-    min_bot = pick(cmin, bot_idx, 255, False)
-    max_bot = pick(cmax, bot_idx, 0, False)
+    min_top = pick(cmin, above, 255, True)
+    max_top = pick(cmax, above, 0, True)
+    min_bot = pick(cmin, below, 255, False)
+    max_bot = pick(cmax, below, 0, False)
     nbr = jnp.stack([min_top, max_top, min_bot, max_bot], axis=2)
     nbr = jnp.repeat(nbr, 4, axis=-1)  # tile -> pixel lanes
     nbr = jnp.concatenate(

@@ -179,6 +179,57 @@ def main() -> None:
             print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
             return None
 
+    if "--hetero" in sys.argv:
+        # Heterogeneous-rig characterization (VERDICT round-3 directive 8):
+        # a mixed rig runs ONE fused launch per group (runtime/app.py
+        # FusedGroup), dispatched back to back in group build order each
+        # iteration — the device executes them serially, so the expected
+        # per-iteration device cost is the SUM of the groups. This probe
+        # measures each group's step alone and the pair dispatched
+        # together (both bodies inside one scan harness, mirroring the
+        # back-to-back dispatch) and reports pair/sum — ~1.0 means no
+        # cross-group interference, <1.0 means XLA overlapped work.
+        def build_group(gw, gh, nb):
+            fr = build_scene()
+            reps = (-(-gh // fr.shape[0]), -(-gw // fr.shape[1]))
+            fr = np.tile(fr, reps)[:gh, :gw]
+            frames_g = jnp.asarray(np.broadcast_to(fr, (nb, gh, gw)).copy())
+            calib = {"fx": 1100.0, "fy": 1100.0, "cx": gw / 2, "cy": gh / 2,
+                     "k1": 0.0, "k2": 0.0, "p1": 0.0, "p2": 0.0, "k3": 0.0,
+                     "width": gw, "height": gh}
+            tags = [{"ID": t,
+                     "pose": {"translation": {"x": 10.0 + 0.5 * t, "y": 4.0,
+                                              "z": 1.0},
+                              "rotation": {"quaternion": {"W": 0.0, "X": 0.0,
+                                                          "Y": 0.0, "Z": 1.0}}}}
+                    for t in (1, 5, 9, 13)]
+            layout = parse_field_layout(
+                {"tags": tags, "field": {"length": 16.5, "width": 8.0}},
+                dtype=jnp.float32)
+            cams = [{"calib": json.dumps({"OpenCVModel5": calib}),
+                     "robot_to_cam": json.dumps(
+                         {"roll": 0, "pitch": 0, "yaw": 0, "x": 0, "y": 0,
+                          "z": 1.0})}] * nb
+            params, rc = build_rig_from_config(cams, layout)
+            return (make_vision_pipeline(layout, params, rc), frames_g,
+                    jnp.zeros(nb, jnp.float32))
+
+        step_a, f_a, g_a = build_group(1600, 1304, 2)
+        step_b, f_b, g_b = build_group(1280, 800, 2)
+        t_a = probe("group_A_2x1600x1304", step_a, (f_a, g_a))
+        t_b = probe("group_B_2x1280x800", step_b, (f_b, g_b))
+        t_ab = probe(
+            "rig_pair_AB",
+            lambda fa, ga, fb, gb: (step_a(fa, ga), step_b(fb, gb)),
+            (f_a, g_a, f_b, g_b),
+        )
+        if t_a and t_b and t_ab:
+            results["pair_vs_sum"] = round(t_ab / (t_a + t_b), 4)
+            print(f"pair/sum: {results['pair_vs_sum']:.3f}", flush=True)
+        print(json.dumps({"perfprobe_ms": results,
+                          "device": str(jax.devices()[0])}), flush=True)
+        return
+
     frame = build_scene()
     if (H2, W2) != (H, W):
         reps = (-(-H2 // H), -(-W2 // W))
