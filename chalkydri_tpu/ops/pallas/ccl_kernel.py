@@ -195,7 +195,8 @@ def _segmented_scan_axis_packed(labels, seg_fwd, seg_bwd, axis, size,
 
 
 def _ccl_from_val(val, h, w, iters, offsets, labels0=None,
-                  want_converged=False, final_cond=False):
+                  want_converged=False, final_cond=False,
+                  label_bound=None):
     """Shared CCL body: ternary val [h, w] int32 -> labels int32.
 
     ``labels0``: optional initial labeling (min-propagation converges from
@@ -211,6 +212,16 @@ def _ccl_from_val(val, h, w, iters, offsets, labels0=None,
     reached its true fixed point (the loop exited on the convergence test,
     not the ``iters`` latency cap). The two-phase blocked merge uses this
     as its exactness certificate (see _seam_solve_relabel).
+
+    ``label_bound``: for caller-provided ``labels0``, an exclusive upper
+    bound on every non-INVALID label value. Knowing the bound lets each
+    axis's segmented scan use the PACKED implementation when
+    label_bits + that axis's segment bits fit the 31-bit budget — the
+    packing decision is PER AXIS, so e.g. the blocked merge props
+    (22-bit global labels on 264x1600 blocks) pack the column scan
+    (22 + 9 bits) while the row scan (22 + 11) takes the tuple path.
+    Without a bound, caller-provided labels use the tuple path on both
+    axes.
 
     ``final_cond``: choose the loop bracketing. False (default) is the
     plain convergence-gated loop: every round pays neighbor-min + scans,
@@ -242,9 +253,16 @@ def _ccl_from_val(val, h, w, iters, offsets, labels0=None,
     else:
         labels0 = jnp.where(valid, labels0, INVALID)
 
-    label_bits = max(1, math.ceil(math.log2(h * w + 1)))
-    seg_bits = max(1, math.ceil(math.log2(max(h, w) + 1)))
-    use_packed = flat_labels and (label_bits + seg_bits) <= 31
+    if flat_labels and label_bound is None:
+        label_bound = h * w
+    label_bits = (
+        max(1, math.ceil(math.log2(label_bound + 1)))
+        if label_bound is not None else None
+    )
+    seg_row_bits = max(1, math.ceil(math.log2(w + 1)))
+    seg_col_bits = max(1, math.ceil(math.log2(h + 1)))
+    packed_row = label_bits is not None and label_bits + seg_row_bits <= 31
+    packed_col = label_bits is not None and label_bits + seg_col_bits <= 31
 
     is_white = val == 255
     # NOTE (round-4 revert): the neighbor-min keeps ALL 8 offsets. A
@@ -275,10 +293,11 @@ def _ccl_from_val(val, h, w, iters, offsets, labels0=None,
     bits = bits | (boundaries(0, -1) << 11)
     bits = bits | (valid.astype(jnp.int32) << 12)
 
-    if use_packed:
-        # Segment indices are round-invariant: count run starts once.
+    # Segment indices are round-invariant: count run starts once.
+    if packed_row:
         seg_row_f = _prefix_count((bits >> 8) & 1, +1, 1, w, col_idx)
         seg_row_b = _prefix_count((bits >> 9) & 1, -1, 1, w, col_idx)
+    if packed_col:
         seg_col_f = _prefix_count((bits >> 10) & 1, +1, 0, h, row_idx)
         seg_col_b = _prefix_count((bits >> 11) & 1, -1, 0, h, row_idx)
 
@@ -291,17 +310,19 @@ def _ccl_from_val(val, h, w, iters, offsets, labels0=None,
         return m
 
     def scans_remask(m):
-        if use_packed:
+        if packed_row:
             m = _segmented_scan_axis_packed(
                 m, seg_row_f, seg_row_b, 1, w, col_idx, label_bits
-            )
-            m = _segmented_scan_axis_packed(
-                m, seg_col_f, seg_col_b, 0, h, row_idx, label_bits
             )
         else:
             m = _segmented_scan_axis(
                 m, (bits >> 8) & 1, (bits >> 9) & 1, 1, w, col_idx
             )
+        if packed_col:
+            m = _segmented_scan_axis_packed(
+                m, seg_col_f, seg_col_b, 0, h, row_idx, label_bits
+            )
+        else:
             m = _segmented_scan_axis(
                 m, (bits >> 10) & 1, (bits >> 11) & 1, 0, h, row_idx
             )
@@ -835,18 +856,21 @@ def _pick_block_rows(h: int, wp: int) -> int:
 BLOCKED_FINAL_COND = True
 
 
-def _make_prop_kernel(h, w, iters):
+def _make_prop_kernel(h, w, iters, label_bound=None):
     """CCL propagation kernel taking an initial labeling as input. Also
     emits a per-block convergence flag page (1 iff the in-kernel loop hit
     its fixed point rather than the ``iters`` cap) — the two-phase merge's
-    exactness certificate."""
+    exactness certificate. ``label_bound``: exclusive bound on incoming
+    label values (the padded frame's pixel count for the blocked merge) —
+    lets the per-axis packed scans engage where the bits fit."""
     offsets = list(_OFFSETS_ALL) + list(_OFFSETS_WHITE)
 
     def kernel(tern_ref, lab_ref, out_ref, conv_ref):
         val = tern_ref[:].astype(jnp.int32)
         labels, conv = _ccl_from_val(val, h, w, iters, offsets,
                                      labels0=lab_ref[:], want_converged=True,
-                                     final_cond=BLOCKED_FINAL_COND)
+                                     final_cond=BLOCKED_FINAL_COND,
+                                     label_bound=label_bound)
         out_ref[:] = labels
         conv_ref[:] = jnp.full((8, 128), conv, jnp.int32)
 
@@ -1210,6 +1234,12 @@ def _blocked_propagate(tern, labels, hb, iters, interpret):
     converged [] bool — True iff EVERY block certified its fixed point)."""
     b, h, w = tern.shape
     k = h // hb
+    # label_bound=h*w would let the col scan pack (22 + 9 bits at
+    # 1304x1600), but it measured SLOWER here: the packed scan's
+    # segment-index prefix counts are per-invocation setup, and merge
+    # re-propagations converge in 1-3 rounds — too few to amortize it
+    # (merge 1.26 -> 1.61 ms measured on v5e). Round 0 runs ~8-12 rounds,
+    # which is why packing pays there. Tuple scans stay for the merge.
     kernel = _make_prop_kernel(hb, w, iters)
     out, conv = pl.pallas_call(
         kernel,
