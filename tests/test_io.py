@@ -326,36 +326,51 @@ class TestNT4Resilience:
         served = threading_mod.Event()
 
         def evil_server():
-            conn, _ = srv_sock.accept()
-            req = b""
-            while b"\r\n\r\n" not in req:
-                req += conn.recv(4096)
-            key = ""
-            for line in req.decode(errors="replace").split("\r\n"):
-                if line.lower().startswith("sec-websocket-key:"):
-                    key = line.split(":", 1)[1].strip()
-            accept = b64.b64encode(
-                hl.sha1((key + _WS_GUID).encode()).digest()
-            ).decode()
-            conn.sendall(
-                ("HTTP/1.1 101 Switching Protocols\r\n"
-                 "Upgrade: websocket\r\nConnection: Upgrade\r\n"
-                 f"Sec-WebSocket-Accept: {accept}\r\n\r\n").encode()
-            )
-            # Garbage barrage: each frame is well-formed WS but hostile NT.
-            _ws_send(conn, b"not json at all", opcode=0x1, mask=False)
-            _ws_send(conn, b'{"method": "announce"}', opcode=0x1, mask=False)  # non-list
-            _ws_send(conn, b'[1, "x", null]', opcode=0x1, mask=False)  # non-dict items
-            _ws_send(conn, b'[{"method": "announce"}]', opcode=0x1, mask=False)  # no params
-            _ws_send(conn, b'[{"method": "announce", "params": []}]', opcode=0x1, mask=False)
-            _ws_send(conn, b"\xcb\x00\x00", opcode=0x2, mask=False)  # truncated double
-            _ws_send(conn, b"", opcode=0x2, mask=False)  # empty binary
-            _ws_send(conn, b"\x94\x01", opcode=0x2, mask=False)  # short array
-            _ws_send(conn, bytes(range(250, 256)) * 3, opcode=0x2, mask=False)
-            time.sleep(0.3)
-            conn.close()
-            srv_sock.close()
-            served.set()
+            # The barrage must be failure-proof: on a loaded CI host the
+            # client's reader can drop the connection mid-send (observed
+            # once in a 40-minute full-suite run: BrokenPipe killed this
+            # thread before served.set(), timing the test out). A send
+            # error IS an acceptable outcome here — the contract under
+            # test is that the CLIENT survives and recovers, asserted
+            # against the sane server below — so sends are best-effort
+            # and served always sets.
+            try:
+                conn, _ = srv_sock.accept()
+                req = b""
+                while b"\r\n\r\n" not in req:
+                    req += conn.recv(4096)
+                key = ""
+                for line in req.decode(errors="replace").split("\r\n"):
+                    if line.lower().startswith("sec-websocket-key:"):
+                        key = line.split(":", 1)[1].strip()
+                accept = b64.b64encode(
+                    hl.sha1((key + _WS_GUID).encode()).digest()
+                ).decode()
+                conn.sendall(
+                    ("HTTP/1.1 101 Switching Protocols\r\n"
+                     "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                     f"Sec-WebSocket-Accept: {accept}\r\n\r\n").encode()
+                )
+                # Garbage barrage: each frame is well-formed WS, hostile NT.
+                _ws_send(conn, b"not json at all", opcode=0x1, mask=False)
+                _ws_send(conn, b'{"method": "announce"}', opcode=0x1, mask=False)  # non-list
+                _ws_send(conn, b'[1, "x", null]', opcode=0x1, mask=False)  # non-dict items
+                _ws_send(conn, b'[{"method": "announce"}]', opcode=0x1, mask=False)  # no params
+                _ws_send(conn, b'[{"method": "announce", "params": []}]', opcode=0x1, mask=False)
+                _ws_send(conn, b"\xcb\x00\x00", opcode=0x2, mask=False)  # truncated double
+                _ws_send(conn, b"", opcode=0x2, mask=False)  # empty binary
+                _ws_send(conn, b"\x94\x01", opcode=0x2, mask=False)  # short array
+                _ws_send(conn, bytes(range(250, 256)) * 3, opcode=0x2, mask=False)
+                time.sleep(0.3)
+                conn.close()
+            except OSError:
+                pass
+            finally:
+                try:
+                    srv_sock.close()
+                except OSError:
+                    pass
+                served.set()
 
         threading_mod.Thread(target=evil_server, daemon=True).start()
         c = NT4Client("127.0.0.1", port, identity="fuzzee",
