@@ -214,10 +214,14 @@ def main() -> None:
             return (make_vision_pipeline(layout, params, rc), frames_g,
                     jnp.zeros(nb, jnp.float32))
 
-        step_a, f_a, g_a = build_group(1600, 1304, 2)
-        step_b, f_b, g_b = build_group(1280, 800, 2)
-        t_a = probe("group_A_2x1600x1304", step_a, (f_a, g_a))
-        t_b = probe("group_B_2x1280x800", step_b, (f_b, g_b))
+        # Geometry overrides let CI smoke-run the mode on CPU at small
+        # sizes; the default is the deployed mixed rig.
+        w1, h1 = _arg("--hetero-w1", 1600), _arg("--hetero-h1", 1304)
+        w2, h2 = _arg("--hetero-w2", 1280), _arg("--hetero-h2", 800)
+        step_a, f_a, g_a = build_group(w1, h1, 2)
+        step_b, f_b, g_b = build_group(w2, h2, 2)
+        t_a = probe(f"group_A_2x{w1}x{h1}", step_a, (f_a, g_a))
+        t_b = probe(f"group_B_2x{w2}x{h2}", step_b, (f_b, g_b))
         t_ab = probe(
             "rig_pair_AB",
             lambda fa, ga, fb, gb: (step_a(fa, ga), step_b(fb, gb)),

@@ -151,6 +151,20 @@ class TestSoak:
         assert report["iterations"] >= 2
         assert report["packets_rx"] >= 1  # wire path exercised
         assert "app.dispatch" in report["spans"]
+        # Latency-span decomposition (VERDICT r3 directive 6): every span
+        # individually measured; the deploy projection is the arithmetic
+        # sum of the RTT-free boundaries.
+        spans = report["latency_spans"]
+        for key in ("rtt_ms", "host_capture_ms", "h2d_put_ms",
+                    "h2d_deploy_ms", "device_step_ms", "d2h_fetch_ms",
+                    "host_publish_ms", "projection_p50_ms"):
+            assert key in spans, f"missing latency span {key}"
+        expected = (spans["host_capture_ms"] + spans["h2d_deploy_ms"]
+                    + spans["device_step_ms"] + spans["d2h_fetch_ms"]
+                    + spans["host_publish_ms"])
+        assert abs(spans["projection_p50_ms"] - expected) < 0.01
+        assert spans["h2d_bytes"] == 1 * 240 * 320
+        assert "capture_to_udp_ms_p999" in report
 
 
 class TestImportHygiene:
@@ -188,3 +202,29 @@ class TestImportHygiene:
         )
         assert out.returncode == 0, out.stderr
         assert "CLEAN" in out.stdout
+
+
+class TestPerfprobeHetero:
+    def test_hetero_mode_smoke_cpu(self, capsys, monkeypatch):
+        """`perfprobe --hetero` (the mixed-rig characterization,
+        BENCH_NOTES round 4) must run off-device: builds two geometry
+        groups, probes each alone and the pair, reports pair_vs_sum.
+        CPU numbers are not TPU numbers — this pins the probe paths."""
+        import sys as _sys
+
+        from chalkydri_tpu.tools.perfprobe import main as probe_main
+
+        monkeypatch.setattr(_sys, "argv", [
+            "perfprobe", "--cpu", "--hetero",
+            "--hetero-w1", "320", "--hetero-h1", "240",
+            "--hetero-w2", "256", "--hetero-h2", "160",
+        ])
+        probe_main()
+        import json as _json
+
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        report = _json.loads(out)["perfprobe_ms"]
+        assert "group_A_2x320x240" in report
+        assert "group_B_2x256x160" in report
+        assert "rig_pair_AB" in report
+        assert report["pair_vs_sum"] > 0
