@@ -234,6 +234,57 @@ def main() -> None:
                           "device": str(jax.devices()[0])}), flush=True)
         return
 
+    if "--qd1" in sys.argv:
+        # Full-resolution (quad_decimate=1) cost map: the row-blocked CCL
+        # path (threshold_ccl_blocked) and the full qd=1 detect. Defaults
+        # to the reference's deployed 1304x1600 geometry at batch 2 (the
+        # BENCH_NOTES round-4 table); --height/--width/--batch override.
+        gh, gw, nb = _arg("--height", 1304), _arg("--width", 1600), _arg("--batch", 2)
+        fr = build_scene()
+        reps = (-(-gh // fr.shape[0]), -(-gw // fr.shape[1]))
+        fr = np.tile(fr, reps)[:gh, :gw]
+        frames_q = jnp.asarray(np.broadcast_to(fr, (nb, gh, gw)).copy())
+        print(f"device: {jax.devices()[0]} shape: {frames_q.shape}", flush=True)
+
+        det1 = make_detector(quad_decimate=1)
+        d1 = det1(frames_q)
+        ids1 = sorted(np.asarray(d1.ids[0])[np.asarray(d1.valid[0])].tolist())
+        print(f"detect ids qd1: {ids1}", flush=True)
+        t = probe("detect_full_qd1", det1, (frames_q,), n=100)
+        if t:
+            results["fps_per_chip_qd1"] = round(nb / t * 1000, 1)
+            print(f"  = {results['fps_per_chip_qd1']:.0f} fps/chip", flush=True)
+        use_blocked = (
+            jax.devices()[0].platform not in ("cpu", "gpu")
+            and os.environ.get("CHALKYDRI_NO_PALLAS") != "1"
+        )
+        if use_blocked:
+            from chalkydri_tpu.ops.pallas.ccl_kernel import (
+                _blocked_boundary_rows,
+                _pick_block_rows,
+                threshold_ccl_blocked,
+            )
+
+            probe("threshold_ccl_blocked", lambda g: threshold_ccl_blocked(g),
+                  (frames_q,), n=100)
+            probe("blocked_round0 (merge_rounds=0)",
+                  lambda g: threshold_ccl_blocked(g, merge_rounds=0),
+                  (frames_q,), n=100)
+            wp = (gw + 127) // 128 * 128
+            hb = _pick_block_rows(gh, wp)
+            hp = -(-gh // hb) * hb
+
+            def prep(g):
+                gp = g
+                if hp != gh or wp != gw:
+                    gp = jnp.pad(g, ((0, 0), (0, hp - gh), (0, wp - gw)))
+                return _blocked_boundary_rows(gp, gh, gw, hb)
+
+            probe("blocked_boundary_prep", prep, (frames_q,), n=100)
+        print(json.dumps({"perfprobe_ms": results,
+                          "device": str(jax.devices()[0])}), flush=True)
+        return
+
     frame = build_scene()
     if (H2, W2) != (H, W):
         reps = (-(-H2 // H), -(-W2 // W))
