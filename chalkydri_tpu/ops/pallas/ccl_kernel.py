@@ -1365,6 +1365,49 @@ def _merge_blocks(tern_p, labels, conv, hb, iters, merge_rounds, merge,
                                  interpret)
 
 
+@partial(jax.jit, static_argnames=("iters", "block_rows", "merge_rounds",
+                                   "interpret"))
+def propagate_components_blocked(
+    tern: jax.Array,
+    labels: jax.Array,
+    iters: int = 12,
+    block_rows: int | None = None,
+    merge_rounds: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Blocked Pallas propagation from CALLER-provided initial labels to
+    the frame-local fixed point (or the ``merge_rounds`` latency cap).
+    tern [B, H, W] u8, labels [B, H, W] i32 (INVALID on skip pixels;
+    values are opaque ids — any labeling reachable by min-propagation
+    from a valid initialization).
+
+    The multi-chip spatial pipeline threads GLOBALLY-offset labels
+    through repeated invocations of this function between ICI seam
+    merges (parallel/sharded_stages.py) — the same block+seam-merge
+    structure the single-device blocked path runs over VMEM block
+    boundaries (``label_components_blocked_pallas``), one level up the
+    memory hierarchy. Matches the reference's sketched chunked-row
+    cluster merge (``crates/chalkydri-apriltags/src/lib.rs:555-613``).
+    """
+    b, h, w = tern.shape
+    wp = (w + 127) // 128 * 128
+    hb = _pick_block_rows(h, wp) if block_rows is None else block_rows
+    k = -(-h // hb)
+    hp = k * hb
+    if merge_rounds is None:
+        merge_rounds = 4 * k + 2
+    tern_p, labels_p = tern, labels
+    if hp != h or wp != w:
+        tern_p = jnp.pad(tern, ((0, 0), (0, hp - h), (0, wp - w)),
+                         constant_values=127)
+        labels_p = jnp.pad(labels, ((0, 0), (0, hp - h), (0, wp - w)),
+                           constant_values=INVALID)
+    labels_p, _ = _blocked_propagate(tern_p, labels_p, hb, iters, interpret)
+    labels_p = _merge_to_fixed_point(tern_p, labels_p, hb, iters,
+                                     merge_rounds, interpret)
+    return labels_p[:, :h, :w]
+
+
 @partial(jax.jit, static_argnames=("iters", "min_diff", "block_rows",
                                    "merge_rounds", "merge", "interpret"))
 def threshold_ccl_blocked(

@@ -249,7 +249,15 @@ class App:
         else:
             data, space = int(getattr(mesh, "data", 1)), int(getattr(mesh, "space", 1))
         if data < 1 or space < 1:
-            raise ValueError(f"mesh axes must be >= 1, got data={data} space={space}")
+            # A config typo must degrade, not crash-loop the boot — same
+            # policy as the too-few-devices fallback in _resolve_mesh.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "mesh axes must be >= 1, got data=%d space=%d; "
+                "running single-device", data, space,
+            )
+            return None
         if data == 1 and space == 1:
             return None
         return (data, space)

@@ -112,15 +112,26 @@ def _measure_latency_spans(app, reps: int = 30) -> dict:
         walls.append(time.perf_counter() - t0)
     d2h_raw_ms = p50(walls)
 
-    # Host publish: packet build + UDP send for every chain.
-    now = app.clock.now_us()
-    walls = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for b, ch in enumerate(g.chains):
-            app._publish_with(ch, host_out, b, True, now)
-        walls.append(time.perf_counter() - t0)
-    publish_ms = p50(walls)
+    # Host publish: packet build + UDP send for every chain — pointed at
+    # a throwaway sink so these ~reps*len(chains) packets never land in
+    # the soak's rio socket and pollute its packets_rx/latency counters
+    # (the iteration loop is what those characterize).
+    from chalkydri_tpu.io.whacknet import Comm
+
+    null_comm = Comm(remote_addr="127.0.0.1", remote_port=1, gyro_port=0)
+    real_comm, app._comm = app._comm, null_comm
+    try:
+        now = app.clock.now_us()
+        walls = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for b, ch in enumerate(g.chains):
+                app._publish_with(ch, host_out, b, True, now)
+            walls.append(time.perf_counter() - t0)
+        publish_ms = p50(walls)
+    finally:
+        app._comm = real_comm
+        null_comm.close()
 
     h2d_net = max(h2d_raw_ms - rtt_ms, 0.0)
     d2h_net = max(d2h_raw_ms - rtt_ms, 0.0)

@@ -41,12 +41,17 @@ REFERENCE_DIR = "/root/reference"
 
 @pytest.fixture(scope="session")
 def reference_field_json():
-    """Path to the WPILib 2026 field layout shipped with the reference, if
-    present (read-only; used for multi-tag fusion parity tests)."""
+    """Path to a WPILib-schema 2026 field layout: the reference's own
+    ``field.json`` when the read-only mount is present, else the in-tree
+    example layout (examples/field_2026.json — same schema, dimensions,
+    and tag-1 anchor pose, so the suite is self-contained without the
+    reference mounted)."""
     path = os.path.join(REFERENCE_DIR, "field.json")
     if not os.path.exists(path):
-        pytest.skip("reference field.json not available")
-    return path
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "examples", "field_2026.json"
+        )
+    return os.path.abspath(path)
 
 
 @pytest.fixture(scope="session")
