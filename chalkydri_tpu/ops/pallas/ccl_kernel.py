@@ -1304,6 +1304,12 @@ def label_components_blocked_pallas(
     certifies and every capped outer round pays a full prop+relabel).
     Use it where exactness on adversarial topology matters more than
     worst-case latency.
+
+    ``merge="hybrid"``: rounds-mode for k+1 rounds, then ONE two-phase
+    pass iff still unconverged — benign scenes pay exactly the rounds
+    cost, serpentines are bounded by rounds_budget + one seam solve
+    instead of the 4*k+2 rounds cap (see _merge_hybrid). Bitwise equal
+    to both pure modes at full convergence (tested).
     """
     b, h, w = tern.shape
     wp = (w + 127) // 128 * 128
@@ -1353,13 +1359,58 @@ def _merge_to_fixed_point(tern_p, labels, hb, iters, merge_rounds,
     return labels
 
 
+def _merge_hybrid(tern_p, labels, conv, hb, iters, merge_rounds, interpret):
+    """Counts-aware hybrid merge (the round-5 roadmap item): rounds-mode
+    while its convergence certificate holds, ONE two-phase seam-solve pass
+    when it fails.
+
+    Benign scenes (tag borders cross a seam at most twice) converge in
+    2-3 seam-merge rounds — they pay exactly the rounds-mode cost, none
+    of two-phase's ~0.6 ms relabel tax. Pathological topologies
+    (serpentines whose min-label path zig-zags between blocks) blow the
+    small rounds budget; instead of paying the full 4*k+2 rounds-mode cap
+    they fall through to the topology-independent two-phase solve, which
+    is certified exact in one outer round whenever the propagation
+    kernels certify their fixed points. The rounds budget is k+1 (k =
+    block count): any component whose min label travels monotonically
+    down/up the block stack resolves within k rounds; needing more IS the
+    certificate of a serpentine. Bitwise equal to both pure modes at full
+    convergence (tested)."""
+    k = tern_p.shape[1] // hb
+    rounds_budget = k + 1
+
+    def cond(c):
+        i, _, _, changed = c
+        return (i < rounds_budget) & changed
+
+    def body(c):
+        i, lab, _, _ = c
+        new, conv2 = _blocked_propagate(tern_p, _seam_merge(lab, tern_p, hb),
+                                        hb, iters, interpret)
+        return i + 1, new, conv2, jnp.any(new != lab)
+
+    _, labels, conv, changed = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), labels, conv, jnp.bool_(True))
+    )
+    return jax.lax.cond(
+        changed,
+        lambda lab: _merge_two_phase(tern_p, lab, conv, hb, iters,
+                                     merge_rounds, interpret),
+        lambda lab: lab,
+        labels,
+    )
+
+
 def _merge_blocks(tern_p, labels, conv, hb, iters, merge_rounds, merge,
                   interpret):
-    """Dispatch between the two-phase union-find merge (production) and
-    the legacy merge-round loop (comparison/fallback)."""
+    """Dispatch between the merge strategies (see
+    label_components_blocked_pallas)."""
     if merge == "twophase":
         return _merge_two_phase(tern_p, labels, conv, hb, iters,
                                 merge_rounds, interpret)
+    if merge == "hybrid":
+        return _merge_hybrid(tern_p, labels, conv, hb, iters, merge_rounds,
+                             interpret)
     assert merge == "rounds", f"unknown merge mode {merge!r}"
     return _merge_to_fixed_point(tern_p, labels, hb, iters, merge_rounds,
                                  interpret)

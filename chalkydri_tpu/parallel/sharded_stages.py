@@ -168,6 +168,123 @@ def label_components_block(block: jax.Array, hl: int, w: int,
     return jax.lax.fori_loop(0, iters, body, labels)
 
 
+def _ici_seam_min(labels: jax.Array, block: jax.Array, axis_name: str,
+                  idx, n: int) -> jax.Array:
+    """One neighbor-min across the CHIP seams (boundary label rows ride
+    ICI via ppermute; 4-conn for any same ternary value, diagonals white
+    only — the connectivity ``label_components_block``'s per-round
+    ``seam_min`` applies, factored out for the kernel-backed path)."""
+    from chalkydri_tpu.detector.segment import INVALID
+
+    def fetch(rows, direction):
+        perm = [(i, (i + direction) % n) for i in range(n)]
+        return jax.lax.ppermute(rows, axis_name, perm)
+
+    top_val, bot_val = block[:, :1, :], block[:, -1:, :]
+    val_above = fetch(bot_val, +1)
+    val_below = fetch(top_val, -1)
+    val_above = jnp.where(idx == 0, jnp.uint8(127), val_above)
+    val_below = jnp.where(idx == n - 1, jnp.uint8(127), val_below)
+    lab_above = fetch(labels[:, -1:, :], +1)
+    lab_below = fetch(labels[:, :1, :], -1)
+    lab_above = jnp.where(idx == 0, INVALID, lab_above)
+    lab_below = jnp.where(idx == n - 1, INVALID, lab_below)
+
+    def merge_row(row_lab, row_val, n_lab, n_val):
+        m = row_lab
+        white = row_val == 255
+        valid = row_val != 127
+        for dx in (0, 1, -1):
+            nl = jnp.roll(n_lab, dx, axis=2) if dx else n_lab
+            nv = jnp.roll(n_val, dx, axis=2) if dx else n_val
+            if dx == 1:
+                nl = nl.at[:, :, :1].set(INVALID)
+                nv = nv.at[:, :, :1].set(jnp.uint8(127))
+            elif dx == -1:
+                nl = nl.at[:, :, -1:].set(INVALID)
+                nv = nv.at[:, :, -1:].set(jnp.uint8(127))
+            same = (nv == row_val) & valid
+            if dx != 0:
+                same = same & white
+            m = jnp.minimum(m, jnp.where(same, nl, INVALID))
+        return m
+
+    top = merge_row(labels[:, :1, :], top_val, lab_above, val_above)
+    bot = merge_row(labels[:, -1:, :], bot_val, lab_below, val_below)
+    return jnp.concatenate([top, labels[:, 1:-1, :], bot], axis=1)
+
+
+def label_components_block_pallas(
+    block: jax.Array,
+    hl: int,
+    w: int,
+    axis_name: str = "space",
+    iters: int = 12,
+    outer_rounds: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Kernel-backed CCL over one chip's row block [B, hl, w]: each chip
+    runs the blocked Pallas VMEM propagation
+    (ops/pallas/ccl_kernel.py — the path that makes the single-chip
+    detector fast: 9.6 ms vs 89 ms jnp at the batch-4 load,
+    detector/pipeline.py), with ICI seam merges between chips and a
+    psum-gated outer loop to the GLOBAL fixed point.
+
+    Same structure one level up the memory hierarchy as the single-device
+    blocked path (VMEM block seams -> chip seams; the reference's
+    sketched chunked-row merge, chalkydri-apriltags/src/lib.rs:555-613).
+
+    Labels come out order-isomorphic to ``label_components_block``'s
+    global flat indices (each chip's labels are its LOCAL padded-frame
+    flat ids + idx*hl*wp, monotone in (global row, col)), so every
+    label-equality/ordering consumer downstream — cluster sort keys
+    included — produces bit-identical results (asserted in
+    tests/test_sharding.py against the jnp path, interpret mode).
+
+    Exactness: the outer loop exits only when NO chip's labels changed
+    through (ICI seam-min -> local blocked propagate), which certifies
+    seam agreement AND local fixed points simultaneously; ``outer_rounds``
+    (default 2*n_chips + 2) is the latency cap, reachable only by
+    components serpentining between chips.
+    """
+    from chalkydri_tpu.detector.segment import INVALID
+    from chalkydri_tpu.ops.pallas.ccl_kernel import (
+        label_components_blocked_pallas,
+        propagate_components_blocked,
+    )
+
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+    if outer_rounds is None:
+        outer_rounds = 2 * n + 2
+    wp = (w + 127) // 128 * 128
+
+    # Round 0: block-local convergence with the packed-scan fast path
+    # (local flat labels), then shift onto the global id space — min-
+    # propagation commutes with adding a per-chip constant.
+    labels = label_components_blocked_pallas(block, iters=iters,
+                                             interpret=interpret)
+    labels = jnp.where(labels == INVALID, INVALID, labels + idx * hl * wp)
+
+    def cond(c):
+        i, _, changed = c
+        return (i < outer_rounds) & changed
+
+    def body(c):
+        i, lab, _ = c
+        merged = _ici_seam_min(lab, block, axis_name, idx, n)
+        new = propagate_components_blocked(block, merged, iters=iters,
+                                           interpret=interpret)
+        changed = jax.lax.psum(
+            jnp.any(new != lab).astype(jnp.int32), axis_name) > 0
+        return i + 1, new, changed
+
+    _, labels, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), labels, jnp.bool_(True))
+    )
+    return labels
+
+
 def sharded_label_components(
     tern: jax.Array, mesh: Mesh, iters: int = 16
 ) -> jax.Array:
