@@ -191,6 +191,7 @@ def make_detector(
     max_clusters: int = MAX_CLUSTERS,
     cluster_points: int = MAX_CLUSTER_POINTS,
     max_quad_candidates: int = 32,
+    capacity_fallback: bool = False,
 ):
     """Build a jitted ``detect(gray_batch) -> Detections``.
 
@@ -207,6 +208,25 @@ def make_detector(
     default 32 covers the worst case exactly: MAX_DETECTIONS=16 tags x 2
     boundary clusters each (a tag border's black ring pairs with both the
     outside white region and the inner white cells).
+
+    ``capacity_fallback``: texture-flooded frames (sensor noise on
+    low-contrast background classifying to dense speckle) can exceed the
+    candidate compaction budget; the block drop then lands on TAG blocks
+    as much as noise blocks — under a uniform flood every ranking signal
+    (count, both-direction boost) saturates, so the cut is effectively
+    arbitrary at the cutoff ties and a real tag's cluster fragments
+    (measured: the 84th golden-corpus detection, sigma-5 noise, 34.4k
+    candidates vs the 65k budget's 512-blocks/dir cap — 3896 dropped, 82
+    of the tag's 160 dir-0 blocks lost). With this flag the returned
+    callable is a HOST-side two-program dispatcher: the standard-budget
+    program runs every frame, and iff its per-frame ``dropped_points``
+    reports an overflow the batch re-runs on a lazily-compiled 2x-budget
+    program. Static shapes stay static (two fixed programs, the TPU way
+    to express a dynamic budget); clean frames pay nothing — identical
+    detections by value, since compaction keeps every occupied block when
+    the cap doesn't bind. Default OFF: the hot fused pipeline
+    (chalkydri_tpu.pipeline) reports dropped_points as a health metric
+    instead (runtime/app.py dropped_points_total).
     """
     import os
 
@@ -327,4 +347,23 @@ def make_detector(
         )
         return finish(gray_batch, clusters)
 
-    return detect
+    if not capacity_fallback:
+        return detect
+
+    big = make_detector(
+        family=fam, bits_corrected=bits_corrected,
+        max_detections=max_detections, ccl_iters=ccl_iters, refine=refine,
+        quad_decimate=quad_decimate, max_edge_points=2 * edge_cap,
+        max_clusters=max_clusters, cluster_points=cluster_points,
+        max_quad_candidates=max_quad_candidates,
+    )
+
+    def detect_with_fallback(gray_batch):
+        out = detect(gray_batch)
+        import numpy as _np
+
+        if int(_np.max(jax.device_get(out.dropped_points))) > 0:
+            return big(gray_batch)
+        return out
+
+    return detect_with_fallback

@@ -829,9 +829,9 @@ class TestBlockedCCL:
             tern[row, cols[i]:cols[i + 1] + 1] = 255
         return tern
 
-    def test_twophase_merge_matches_rounds_bitwise(self):
-        """The two-phase merge returns BITWISE the same labels as the
-        default merge-round loop at full convergence (the claim in
+    def test_merge_modes_match_bitwise(self):
+        """Two-phase AND hybrid merges return BITWISE the same labels as
+        the merge-round loop at full convergence (the claim in
         label_components_blocked_pallas's docstring), on both a random
         ternary field and a seam-crossing serpentine."""
         from chalkydri_tpu.ops.pallas.ccl_kernel import (
@@ -847,11 +847,34 @@ class TestBlockedCCL:
             tern = jnp.asarray(tern_np)
             kw = dict(iters=16, block_rows=24, merge_rounds=64,
                       interpret=True)
-            uf = np.asarray(label_components_blocked_pallas(
-                tern, merge="twophase", **kw))
             rd = np.asarray(label_components_blocked_pallas(
                 tern, merge="rounds", **kw))
-            np.testing.assert_array_equal(uf, rd)
+            for mode in ("twophase", "hybrid"):
+                got = np.asarray(label_components_blocked_pallas(
+                    tern, merge=mode, **kw))
+                np.testing.assert_array_equal(
+                    got, rd, err_msg=f"merge={mode} diverged from rounds")
+
+    def test_hybrid_serpentine_exact_at_default_cap(self):
+        """A serpentine past the rounds-mode cap: the hybrid's rounds
+        budget (k+1) fails its certificate and the fall-through two-phase
+        pass still yields the exact scipy partition — the bounded-worst-
+        case claim of the hybrid mode."""
+        from chalkydri_tpu.ops.pallas.ccl_kernel import (
+            INVALID as K_INVALID,
+            label_components_blocked_pallas,
+        )
+
+        t = self._serpentine(96, 128, 32)
+        blk = np.asarray(label_components_blocked_pallas(
+            jnp.asarray(t[None]), iters=16, block_rows=8, merge="hybrid",
+            interpret=True,
+        ))[0]
+        ref = self._scipy_partition(t)
+        valid = t != 127
+        assert (blk[valid] != K_INVALID).all()
+        assert self._partitions_equal(ref, blk, valid)
+        assert len(np.unique(blk[t == 255])) == 1
 
     def test_twophase_serpentine_exact_at_default_cap(self):
         """A serpentine whose min-label path crosses ~340 seams (far past
@@ -939,7 +962,10 @@ class TestArucoParityCorpus:
         cv2 = pytest.importorskip("cv2")
         scenes = self._corpus()
         frames = jnp.asarray(np.stack([c for c, _ in scenes]))
-        detect = make_detector()
+        # capacity_fallback: scene 18's sigma-5 noise flood overflows the
+        # standard candidate budget (the round-4 "84th detection" miss);
+        # the host-side 2x-budget redispatch recovers it.
+        detect = make_detector(capacity_fallback=True)
         out = detect(frames)  # one batched launch for the whole corpus
 
         d = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_APRILTAG_36h11)
@@ -977,7 +1003,7 @@ class TestArucoParityCorpus:
 
         assert n_oracle >= 50, f"oracle found only {n_oracle} tags"
         rate = n_matched / n_oracle
-        assert rate >= 0.95, f"matched {n_matched}/{n_oracle} of oracle's tags"
+        assert rate == 1.0, f"matched {n_matched}/{n_oracle} of oracle's tags"
         corner_rms = np.array(corner_rms)
         # The oracle's OWN corners sit ~0.70 px median from exact ground
         # truth on this corpus (measured: its corner convention/refinement),
@@ -987,6 +1013,37 @@ class TestArucoParityCorpus:
         assert np.quantile(corner_rms, 0.9) < 1.6
         gt_err = np.array(gt_err)
         assert np.median(gt_err) < 0.3, f"median err vs ground truth {np.median(gt_err):.3f}"
+
+    def test_capacity_fallback_recovers_flooded_scene(self):
+        """The round-4 '84th golden detection' (VERDICT weak #1 /
+        directive 3), root-caused: corpus scene 18 (tag 471, sigma-5
+        noise on the low-contrast background) thresholds to a texture
+        flood of 34.4k boundary candidates; the standard budget's
+        512-blocks/dir compaction cap binds, and with every ranking
+        signal saturated by the uniform flood (both-direction boost true
+        on 100% of rows/columns; tag blocks' counts 13-18 tie noise
+        blocks' at the cutoff) the drop lands on 82 of the tag's 160
+        dir-0 blocks — fragmenting its cluster below quad fit. The
+        standard program must REPORT the overflow (dropped_points > 0,
+        the health signal), and the capacity_fallback dispatcher must
+        recover the tag on the 2x-budget program."""
+        from tests.reference_impl.corpus import build_parity_corpus
+
+        canvas, gts = build_parity_corpus(19)[18]
+        assert 471 in gts
+        frames = jnp.asarray(canvas[None])
+
+        base = make_detector()(frames)
+        assert int(np.asarray(base.dropped_points)[0]) > 0, (
+            "scene 18 no longer overflows the standard budget — "
+            "re-characterize this regression test"
+        )
+        assert 471 not in np.asarray(base.ids[0])[np.asarray(base.valid[0])]
+
+        out = make_detector(capacity_fallback=True)(frames)
+        ids = np.asarray(out.ids[0])[np.asarray(out.valid[0])]
+        assert 471 in ids, f"fallback did not recover tag 471: {ids}"
+        assert int(np.asarray(out.dropped_points)[0]) == 0
 
     def test_corpus_vs_golden_refined(self):
         """Parity vs the CHECKED-IN golden corpus
@@ -1016,7 +1073,7 @@ class TestArucoParityCorpus:
         scenes = self._corpus()
         assert len(golden["scenes"]) == len(scenes)
         frames = jnp.asarray(np.stack([c for c, _ in scenes]))
-        out = make_detector()(frames)
+        out = make_detector(capacity_fallback=True)(frames)
         ids_np = np.asarray(out.ids)
         corners_np = np.asarray(out.corners)
         valid_np = np.asarray(out.valid)
@@ -1041,7 +1098,7 @@ class TestArucoParityCorpus:
 
         assert n_oracle >= 50, f"golden has only {n_oracle} detections"
         rate = n_matched / n_oracle
-        assert rate >= 0.95, f"matched {n_matched}/{n_oracle} of golden"
+        assert rate == 1.0, f"matched {n_matched}/{n_oracle} of golden"
         rms = np.array(rms)
         assert np.median(rms) < 1.0, f"median RMS vs golden {np.median(rms):.3f}"
         assert np.quantile(rms, 0.9) < 1.6
@@ -1083,6 +1140,116 @@ class TestArucoParityCorpus:
         # adaption interacts at low contrast)
         assert 0.4 < margins[0.6] / margins[1.0] < 0.8
         assert 0.15 < margins[0.3] / margins[1.0] < 0.5
+
+
+class TestMarginDiscrimination:
+    """VERDICT round-4 directive 6: decision margins must DISCRIMINATE —
+    a degraded tag must score a low margin, so the
+    ``filtered_by_decision_margin`` threshold semantics users bring from
+    libapriltag (crates/apriltags/src/lib.rs:127-141) actually do
+    something. Measured operating curve (tag 17, 140 px, 480x640):
+
+      blur sigma   0     2      3      4      5      6
+      margin     127.5  127.1  126.4  119.5  106.7   91.7
+      noise sigma  0    10     20     30     40     50
+      margin     127.5  124.3  121.0  117.7  114.1  110.1
+      contrast   1.0   0.6    0.4    0.25   0.15   0.08
+      margin     127.5  76.5   51.0   31.5   19.0   10.0
+
+    Monotone on every axis; a threshold of 50 separates clean
+    (margin >100) from heavily corrupted (contrast <=0.25) detections.
+    """
+
+    def _scene(self, blur=0.0, noise=0.0, contrast=1.0, tid=17):
+        from scipy import ndimage
+
+        from tests.reference_impl.render import place_tag
+
+        canvas = np.full((480, 640), 160, np.uint8)
+        place_tag(canvas, FAM, tid, axis_aligned_corners(320, 240, 70))
+        f = 160 + (canvas.astype(np.float32) - 160) * contrast
+        if blur > 0:
+            f = ndimage.gaussian_filter(f, blur)
+        if noise > 0:
+            rng = np.random.default_rng(7)
+            f = f + rng.normal(0, noise, f.shape)
+        return np.clip(f, 0, 255).astype(np.uint8)
+
+    def _margin(self, detect, canvas, tid=17):
+        out = detect(jnp.asarray(canvas[None]))
+        ids = np.asarray(out.ids[0])
+        valid = np.asarray(out.valid[0])
+        hits = np.where((ids == tid) & valid)[0]
+        assert hits.size == 1, f"tag {tid} not detected"
+        return float(np.asarray(out.decision_margins[0])[hits[0]])
+
+    def test_margin_monotone_under_degradation(self):
+        detect = make_detector()
+        batches = {
+            "blur": [self._scene(blur=b) for b in (0.0, 2.0, 3.0, 4.0,
+                                                   5.0, 6.0)],
+            "noise": [self._scene(noise=n) for n in (0, 10, 20, 30, 40,
+                                                     50)],
+            "contrast": [self._scene(contrast=c)
+                         for c in (1.0, 0.6, 0.4, 0.25)],
+        }
+        for axis, frames in batches.items():
+            ms = [self._margin(detect, c) for c in frames]
+            diffs = np.diff(ms)
+            assert (diffs <= 0.5).all(), (
+                f"margins not monotone under {axis}: {np.round(ms, 1)}"
+            )
+            assert ms[0] - ms[-1] > 10.0, (
+                f"margins barely move under {axis}: {np.round(ms, 1)}"
+            )
+
+    def test_margin_threshold_separates(self):
+        detect = make_detector()
+        clean = self._margin(detect, self._scene())
+        corrupted = self._margin(detect, self._scene(contrast=0.25))
+        assert clean > 100.0
+        assert corrupted < 50.0
+
+    def test_filtered_by_decision_margin_end_to_end(self):
+        """The fused pipeline's decision_margin_min excludes a detected-
+        but-degraded tag from the SOLVE (pose invalid, tag_count 0) while
+        the unfiltered pipeline uses it — filtered_by_decision_margin
+        semantics (crates/apriltags/src/lib.rs:127-141) applied at the
+        solver gate."""
+        import __graft_entry__ as ge
+        from chalkydri_tpu.pipeline import (
+            build_rig_from_config,
+            make_vision_pipeline,
+        )
+
+        layout, cams = ge._tiny_rig(jnp.float32)
+        params, rc = build_rig_from_config(cams, layout)
+        frames = ge._render_scene(layout, 1)
+        # squeeze contrast about the background so the tags still decode
+        # but their margins collapse under the 50 threshold
+        low = np.clip(
+            150 + (frames.astype(np.float32) - 150) * 0.25, 0, 255
+        ).astype(np.uint8)
+        gyro = jnp.zeros(1, jnp.float32)
+
+        open_step = make_vision_pipeline(layout, params, rc)
+        out_open = open_step(jnp.asarray(low), gyro)
+        assert bool(np.asarray(out_open.pose_valid)[0]), (
+            "degraded tags must still decode with no margin filter"
+        )
+        margins = np.asarray(out_open.detections.decision_margins[0])
+        valid = np.asarray(out_open.detections.valid[0])
+        assert margins[valid].max() < 50.0
+
+        gated_step = make_vision_pipeline(
+            layout, params, rc, decision_margin_min=50.0)
+        out_gated = gated_step(jnp.asarray(low), gyro)
+        assert int(np.asarray(out_gated.tag_count)[0]) == 0
+        assert not bool(np.asarray(out_gated.pose_valid)[0])
+        # the clean frame passes the same gate
+        out_clean = gated_step(jnp.asarray(frames), gyro)
+        assert bool(np.asarray(out_clean.pose_valid)[0])
+        assert int(np.asarray(out_clean.tag_count)[0]) >= 1
 
 
 class TestHomographyPrecision:
