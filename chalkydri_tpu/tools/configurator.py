@@ -121,10 +121,94 @@ def _print_caps(caps: list[dict]) -> None:
         print(f"    ({j}) {c['format']} {c['width']}x{c['height']} @ {fps} fps")
 
 
+def _ask(prompt: str, default: str = "") -> str:
+    """One stdin prompt with a default (shown in brackets)."""
+    suffix = f" [{default}]" if default else ""
+    try:
+        got = input(f"{prompt}{suffix}: ").strip()
+    except EOFError:
+        return default
+    return got or default
+
+
+def _interactive_session(state: ConfiguratorState, args) -> int:
+    """Guided operator flow, the reference's dialoguer session
+    (configurator/src/main.rs:55-593): per camera — pick/enter a device,
+    pick caps from the device's own query (main.rs:518-568), set
+    cam_id/offsets, optionally calibrate inline — then optionally emit
+    the RON graph. Stdlib prompts driving the SAME state/commands as the
+    flag path, so both emit identical graphs (tested)."""
+    from chalkydri_tpu.io.camera import PROVIDER, query_caps
+
+    PROVIDER.refresh()
+    devices = PROVIDER.devices()
+    dev_list = sorted(devices.items())
+    if dev_list:
+        print("cameras found:")
+        for i, (dev_id, node) in enumerate(dev_list):
+            print(f"[{i}] {dev_id} ({node})")
+    else:
+        print("no cameras found — enter device paths manually")
+
+    while True:
+        name = _ask("camera name (empty to finish)")
+        if not name:
+            break
+        dev = _ask("device (index from the list, /dev/videoN, or bus id)")
+        if dev.isdigit() and int(dev) < len(dev_list):
+            dev_id, node = dev_list[int(dev)]
+        else:
+            dev_id, node = dev, devices.get(dev, dev)
+        caps = query_caps(node)
+        print(f"  caps of {dev_id}:")
+        _print_caps(caps)
+        pick = _ask("caps (index, or empty to type WxH)")
+        entry = state.entry(name)
+        entry.name, entry.device_id = name, dev_id
+        if pick.isdigit() and int(pick) < len(caps):
+            c = caps[int(pick)]
+            entry.width, entry.height = int(c["width"]), int(c["height"])
+        else:
+            entry.width = int(_ask("width", str(entry.width)))
+            entry.height = int(_ask("height", str(entry.height)))
+        entry.cam_id = int(_ask("cam_id (wire id, 0-255)", str(entry.cam_id)))
+        if _ask("set robot->camera offsets? (y/N)", "n").lower().startswith("y"):
+            for k in ("x", "y", "z", "roll", "pitch", "yaw"):
+                entry.robot_to_cam[k] = float(
+                    _ask(f"  {k} (m or deg)", str(entry.robot_to_cam[k]))
+                )
+        state.put(name, entry)
+        state.save(args.state)
+        print(f"configured camera {name!r} -> {entry.device_id} "
+              f"{entry.width}x{entry.height} cam_id={entry.cam_id}")
+        if _ask("calibrate this camera now? (y/N)", "n").lower().startswith("y"):
+            import types
+
+            rc = cmd_calibrate(types.SimpleNamespace(
+                state=args.state, name=name, frames=20, timeout=120.0,
+                allow_synthetic=False, viz_port=None,
+            ))
+            if rc != 0:
+                print("calibration failed; continuing", file=sys.stderr)
+            state = ConfiguratorState.load(args.state)  # pick up calib
+
+    if state.cameras and _ask(
+            "generate chalkydri.ron now? (y/N)", "n").lower().startswith("y"):
+        out = _ask("output path", "chalkydri.ron")
+        graph = generate_graph(state)
+        with open(out, "w") as f:
+            f.write(graph.dumps())
+        print(f"wrote {out} ({len(graph.tasks)} tasks, "
+              f"{len(graph.edges)} edges)")
+    return 0
+
+
 def cmd_configure(args) -> int:
     from chalkydri_tpu.io.camera import PROVIDER, SYNTHETIC_CAPS, query_caps
 
     state = ConfiguratorState.load(args.state)
+    if getattr(args, "interactive", False):
+        return _interactive_session(state, args)
     PROVIDER.refresh()
     devices = PROVIDER.devices()
     if not devices:
@@ -267,6 +351,10 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("configure", help="map devices to camera configs")
+    c.add_argument("--interactive", action="store_true",
+                   help="guided session: pick camera + caps from the "
+                        "device query, set offsets, optional calibration "
+                        "(the reference's dialoguer flow)")
     c.add_argument("--name")
     c.add_argument("--device")
     c.add_argument("--width", type=int, default=0)

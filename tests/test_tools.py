@@ -49,6 +49,73 @@ class TestConfiguratorGenerate:
         assert [t.id for t in g3.tasks] == [t.id for t in g.tasks]
 
 
+class TestConfiguratorInteractive:
+    """VERDICT round-4 directive 8: the guided operator session
+    (reference: dialoguer flow, configurator/src/main.rs:55-593, caps
+    picker 518-568). A scripted-stdin walk of the full session must emit
+    the SAME RON as the flag-driven path."""
+
+    def test_scripted_session_matches_flag_path(self, tmp_path, monkeypatch):
+        from chalkydri_tpu.tools.configurator import main
+
+        monkeypatch.chdir(tmp_path)
+
+        # Flag path: two cameras, one with offsets.
+        assert main(["--state", "flags.json", "configure", "--name",
+                     "front", "--device", "/dev/video0", "--width", "1280",
+                     "--height", "800", "--cam-id", "0"]) == 0
+        assert main(["--state", "flags.json", "configure", "--name",
+                     "rear", "--device", "/dev/video2", "--width", "640",
+                     "--height", "480", "--cam-id", "1", "--offsets",
+                     '{"roll": 0.0, "pitch": 0.0, "yaw": 180.0, '
+                     '"x": -0.25, "y": 0.0, "z": 0.5}']) == 0
+        assert main(["--state", "flags.json", "generate", "--output",
+                     "flags.ron"]) == 0
+
+        # Interactive path: same rig through the guided session. No real
+        # cameras in CI -> manual device entry + synthetic caps picker
+        # (index 2 = 1280x800, index 0 = 640x480 in SYNTHETIC_CAPS).
+        answers = iter([
+            "front",            # camera name
+            "/dev/video0",      # device
+            "2",                # caps index -> 1280x800
+            "0",                # cam_id
+            "n",                # offsets?
+            "n",                # calibrate?
+            "rear",             # next camera
+            "/dev/video2",
+            "0",                # caps index -> 640x480
+            "1",                # cam_id
+            "y",                # offsets
+            "-0.25", "0", "0.5",  # x y z
+            "0", "0", "180",      # roll pitch yaw
+            "n",                # calibrate?
+            "",                 # finish camera loop
+            "y",                # generate now?
+            "inter.ron",        # output path
+        ])
+        monkeypatch.setattr("builtins.input", lambda prompt="": next(answers))
+        assert main(["--state", "inter.json", "configure",
+                     "--interactive"]) == 0
+
+        flag_ron = (tmp_path / "flags.ron").read_text()
+        inter_ron = (tmp_path / "inter.ron").read_text()
+        assert inter_ron == flag_ron
+
+    def test_session_eof_is_clean(self, tmp_path, monkeypatch):
+        """Ctrl-D mid-session must exit 0 with state saved so far."""
+        from chalkydri_tpu.tools.configurator import main
+
+        monkeypatch.chdir(tmp_path)
+
+        def eof(prompt=""):
+            raise EOFError
+
+        monkeypatch.setattr("builtins.input", eof)
+        assert main(["--state", "s.json", "configure",
+                     "--interactive"]) == 0
+
+
 class TestExamples:
     """The in-tree runnable example inputs (examples/field_2026.json +
     examples/chalkydri.ron — the reference ships field.json and
