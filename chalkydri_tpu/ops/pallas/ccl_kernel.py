@@ -1335,26 +1335,41 @@ def label_components_blocked_pallas(
 
 
 def _merge_to_fixed_point(tern_p, labels, hb, iters, merge_rounds,
-                          interpret):
+                          interpret, conv0=None):
     """Default merge: seam neighbor-min + re-propagate until the global
     fixed point (or the ``merge_rounds`` latency cap). The alternative
     two-phase merge (_merge_two_phase) reaches the same fixed point with
     a topology-independent round count (tests assert bitwise equality
     between the two) but measured slower on realistic scenes — see
-    ``label_components_blocked_pallas``."""
+    ``label_components_blocked_pallas``.
+
+    Exit test (round 5): the loop checks the cheap SEAM merge for
+    changes BEFORE paying a block propagation, exiting when the seam
+    merge is a no-op AND the last propagation certified its in-kernel
+    fixed point (``conv``) — seam-consistent + locally-converged IS the
+    global fixed point, so this skips the old label-equality exit's
+    confirming full propagation (~0.4 ms of the 1.25 ms merge at
+    1304x1600 batch-2 on v5e; measured 3.48 -> 3.06 ms total). Same
+    fixed point bitwise: the propagation sequence is unchanged, only
+    trailing no-op propagations are skipped. ``conv0``: round 0's
+    certificate (all blocks locally converged before the first merge);
+    defaults to False (forces at least one propagation when the first
+    seam merge changes nothing but a block capped out)."""
+    if conv0 is None:
+        conv0 = jnp.bool_(False)
+    m0 = _seam_merge(labels, tern_p, hb)
 
     def cond(c):
-        i, lab, changed = c
-        return (i < merge_rounds) & changed
+        i, lab, merged, conv = c
+        return (i < merge_rounds) & (jnp.any(merged != lab) | ~conv)
 
     def body(c):
-        i, lab, _ = c
-        new, _ = _blocked_propagate(tern_p, _seam_merge(lab, tern_p, hb),
-                                    hb, iters, interpret)
-        return i + 1, new, jnp.any(new != lab)
+        i, _, merged, _ = c
+        new, conv = _blocked_propagate(tern_p, merged, hb, iters, interpret)
+        return i + 1, new, _seam_merge(new, tern_p, hb), conv
 
-    _, labels, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), labels, jnp.bool_(True))
+    _, labels, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), labels, m0, conv0)
     )
     return labels
 
@@ -1378,22 +1393,25 @@ def _merge_hybrid(tern_p, labels, conv, hb, iters, merge_rounds, interpret):
     convergence (tested)."""
     k = tern_p.shape[1] // hb
     rounds_budget = k + 1
+    m0 = _seam_merge(labels, tern_p, hb)
+
+    def pending(lab, merged, conv):
+        return jnp.any(merged != lab) | ~conv
 
     def cond(c):
-        i, _, _, changed = c
-        return (i < rounds_budget) & changed
+        i, lab, merged, conv = c
+        return (i < rounds_budget) & pending(lab, merged, conv)
 
     def body(c):
-        i, lab, _, _ = c
-        new, conv2 = _blocked_propagate(tern_p, _seam_merge(lab, tern_p, hb),
-                                        hb, iters, interpret)
-        return i + 1, new, conv2, jnp.any(new != lab)
+        i, _, merged, _ = c
+        new, conv2 = _blocked_propagate(tern_p, merged, hb, iters, interpret)
+        return i + 1, new, _seam_merge(new, tern_p, hb), conv2
 
-    _, labels, conv, changed = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), labels, conv, jnp.bool_(True))
+    _, labels, merged, conv = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), labels, m0, conv)
     )
     return jax.lax.cond(
-        changed,
+        pending(labels, merged, conv),
         lambda lab: _merge_two_phase(tern_p, lab, conv, hb, iters,
                                      merge_rounds, interpret),
         lambda lab: lab,
@@ -1413,7 +1431,7 @@ def _merge_blocks(tern_p, labels, conv, hb, iters, merge_rounds, merge,
                              interpret)
     assert merge == "rounds", f"unknown merge mode {merge!r}"
     return _merge_to_fixed_point(tern_p, labels, hb, iters, merge_rounds,
-                                 interpret)
+                                 interpret, conv0=conv)
 
 
 @partial(jax.jit, static_argnames=("iters", "block_rows", "merge_rounds",
@@ -1453,9 +1471,10 @@ def propagate_components_blocked(
                          constant_values=127)
         labels_p = jnp.pad(labels, ((0, 0), (0, hp - h), (0, wp - w)),
                            constant_values=INVALID)
-    labels_p, _ = _blocked_propagate(tern_p, labels_p, hb, iters, interpret)
+    labels_p, conv = _blocked_propagate(tern_p, labels_p, hb, iters,
+                                        interpret)
     labels_p = _merge_to_fixed_point(tern_p, labels_p, hb, iters,
-                                     merge_rounds, interpret)
+                                     merge_rounds, interpret, conv0=conv)
     return labels_p[:, :h, :w]
 
 
