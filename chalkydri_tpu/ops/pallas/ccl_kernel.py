@@ -1275,7 +1275,7 @@ def label_components_blocked_pallas(
     iters: int = 12,
     block_rows: int | None = None,
     merge_rounds: int | None = None,
-    merge: str = "rounds",
+    merge: str = "hybrid",
     interpret: bool = False,
 ) -> jax.Array:
     """CCL over row blocks with a cross-seam merge. tern [B, H, W] u8.
@@ -1283,13 +1283,14 @@ def label_components_blocked_pallas(
     Labels are flat indices in the PADDED frame (opaque ids — the cluster
     stage only compares them for equality).
 
-    ``merge="rounds"`` (production default): seam neighbor-min + full
-    re-propagation per round until the global fixed point or the
-    ``merge_rounds`` cap (default 4*k + 2). Each round moves min-label
-    information across at least one seam along its path, so pathological
-    serpentine topologies can need more rounds than the cap; realistic
-    scenes (tag borders cross a seam at most twice) converge in 2-3.
-    Measured 1304x1600 batch-2 on v5e: 5.63 ms total, 1.66 ms of it merge.
+    ``merge="rounds"``: seam neighbor-min + full re-propagation per round
+    until the global fixed point or the ``merge_rounds`` cap (default
+    4*k + 2). Each round moves min-label information across at least one
+    seam along its path, so pathological serpentine topologies can need
+    more rounds than the cap; realistic scenes (tag borders cross a seam
+    at most twice) converge in 2-3. Measured 1304x1600 batch-2 on v5e
+    (round 5, with the seam-first exit): 3.36 ms total, 0.95 ms of it
+    merge.
 
     ``merge="twophase"``: one block-local propagation, an exact seam-row
     equivalence solve (_seam_solve_relabel), one final propagation —
@@ -1305,11 +1306,13 @@ def label_components_blocked_pallas(
     Use it where exactness on adversarial topology matters more than
     worst-case latency.
 
-    ``merge="hybrid"``: rounds-mode for k+1 rounds, then ONE two-phase
-    pass iff still unconverged — benign scenes pay exactly the rounds
-    cost, serpentines are bounded by rounds_budget + one seam solve
-    instead of the 4*k+2 rounds cap (see _merge_hybrid). Bitwise equal
-    to both pure modes at full convergence (tested).
+    ``merge="hybrid"`` (production default, round 5): rounds-mode for
+    k+1 rounds, then ONE two-phase pass iff still unconverged — benign
+    scenes pay exactly the rounds cost (measured 3.44 vs 3.36 ms, the
+    difference the certificate plumbing), serpentines are bounded by
+    rounds_budget + one seam solve instead of the 4*k+2 rounds cap (see
+    _merge_hybrid). Bitwise equal to both pure modes at full convergence
+    (tested).
     """
     b, h, w = tern.shape
     wp = (w + 127) // 128 * 128
@@ -1486,7 +1489,7 @@ def threshold_ccl_blocked(
     min_diff: int = 5,
     block_rows: int | None = None,
     merge_rounds: int | None = None,
-    merge: str = "rounds",
+    merge: str = "hybrid",
     interpret: bool = False,
 ):
     """Threshold + blocked CCL for frames beyond the single-block VMEM
