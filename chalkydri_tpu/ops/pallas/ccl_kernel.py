@@ -1395,7 +1395,10 @@ def _merge_hybrid(tern_p, labels, conv, hb, iters, merge_rounds, interpret):
     certificate of a serpentine. Bitwise equal to both pure modes at full
     convergence (tested)."""
     k = tern_p.shape[1] // hb
-    rounds_budget = k + 1
+    # merge_rounds stays the caller's overall merge budget: it clamps the
+    # rounds phase (and 0 — "round-0 labels only", the perf probes'
+    # convention — disables the merge entirely via _merge_blocks).
+    rounds_budget = min(k + 1, merge_rounds)
     m0 = _seam_merge(labels, tern_p, hb)
 
     def pending(lab, merged, conv):
@@ -1426,6 +1429,10 @@ def _merge_blocks(tern_p, labels, conv, hb, iters, merge_rounds, merge,
                   interpret):
     """Dispatch between the merge strategies (see
     label_components_blocked_pallas)."""
+    if merge_rounds == 0:
+        # round-0 block-local labels only (the perf probes' convention),
+        # regardless of strategy
+        return labels
     if merge == "twophase":
         return _merge_two_phase(tern_p, labels, conv, hb, iters,
                                 merge_rounds, interpret)
