@@ -682,9 +682,28 @@ class App:
                 outs.append(out)
                 with span("app.fetch_publish"):
                     host_out = self._fetch_small(out)
-                    self.dropped_points_total += int(
+                    dropped_now = int(
                         np.sum(host_out.detections.dropped_points)
                     )
+                    self.dropped_points_total += dropped_now
+                    if dropped_now:
+                        # Operator visibility for the capacity degradation
+                        # mode (texture floods): rate-limited so a noisy
+                        # stream can't spam the journal.
+                        import logging
+                        import time as _time
+
+                        now = _time.monotonic()
+                        if now - getattr(self, "_last_drop_warn", 0.0) > 5.0:
+                            self._last_drop_warn = now
+                            logging.getLogger(__name__).warning(
+                                "candidate compaction dropped %d boundary "
+                                "points this iteration (%d total) — scene "
+                                "exceeds the detector's candidate budget; "
+                                "tags may fragment. See docs/maintenance.md "
+                                "round-5 (capacity_fallback).",
+                                dropped_now, self.dropped_points_total,
+                            )
                     for b, ch in enumerate(g.chains):
                         fresh, tov = states[b]
                         self._publish_with(ch, host_out, b, fresh, tov)
