@@ -73,6 +73,10 @@ class MjpegSubsys:
 @dataclass
 class CAprilTagsSubsys:
     max_frame_rate: int = 40  # chalkydri_core/src/config.rs:157
+    # Texture-flood recovery: re-run overflowed frames on a 2x-candidate-
+    # budget program (runtime/app.py capacity redispatch). Extension key —
+    # absent from the reference schema, ignored by it.
+    capacity_fallback: bool = False
 
 
 @dataclass

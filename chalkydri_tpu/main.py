@@ -83,12 +83,22 @@ def main(argv=None) -> int:
     logger = UnifiedLogger(args.log, meta={"graph": args.graph}) if args.log else None
 
     PROVIDER.start()
+    detector_kwargs = {}
+    if any(
+        cam.subsystems.capriltags is not None
+        and getattr(cam.subsystems.capriltags, "capacity_fallback", False)
+        for cam in (config.cameras or [])
+    ):
+        # TOML-configured texture-flood recovery (io/config.py
+        # CAprilTagsSubsys.capacity_fallback -> App capacity redispatch).
+        detector_kwargs["capacity_fallback"] = True
     app = App(
         graph,
         field_layout=layout,
         team_number=config.team_number,
         synthetic_cameras=not args.no_synthetic,
         logger=logger,
+        detector_kwargs=detector_kwargs,
         ntables_ip=config.ntables_ip,
         device_name=config.device_name or "chalkydri-tpu",
         mesh=config.mesh,

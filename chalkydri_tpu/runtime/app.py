@@ -73,6 +73,13 @@ class FusedGroup:
     frame_h: int
     family: str
     bits_corrected: int
+    # Optional 2x-candidate-budget program for capacity redispatch
+    # (detector_kwargs capacity_fallback=True): when an iteration's
+    # standard program reports dropped_points, the SAME staged frames
+    # re-run on this one — the texture-flood recovery the golden corpus
+    # pins at the detector level (make_detector capacity_fallback),
+    # extended to the production loop. None = warn-only (default).
+    step_big: "object" = None
 
 
 def _round_up(x: int, m: int) -> int:
@@ -167,7 +174,12 @@ class App:
             if field_layout is None:
                 field_layout = load_field_layout(dtype=jnp.float32)
         self._field_layout = field_layout
-        self._detector_kwargs = detector_kwargs
+        # capacity_fallback is an APP-level behavior (two compiled
+        # programs + host redispatch), not a pipeline kwarg: pop it so
+        # the fused jit programs never see it.
+        dk = dict(detector_kwargs or {})
+        self._capacity_fallback = bool(dk.pop("capacity_fallback", False))
+        self._detector_kwargs = dk
         # Device-mesh request from configuration ([mesh] data/space in the
         # TOML surface — io/config.py MeshCfg; the multi-chip analogue of
         # the reference's graph-as-configuration scaling). Resolved to a
@@ -359,6 +371,26 @@ class App:
                     self._field_layout, params, rc, family=family,
                     bits_corrected=bits, detector_kwargs=self._detector_kwargs,
                 )
+            step_big = None
+            if self._capacity_fallback and mesh is None:
+                # The texture-flood recovery program: same rig, 2x the
+                # candidate compaction budget. Compiled lazily on the
+                # first overflow (acceptable: floods are rare and the
+                # standard program keeps publishing while this one
+                # compiles — the redispatch only upgrades that frame's
+                # result). Mesh groups keep warn-only degradation: their
+                # step closure owns device placement, and doubling a
+                # sharded program's footprint needs a per-deployment
+                # decision, not a default.
+                from chalkydri_tpu.detector.cluster import MAX_EDGE_POINTS
+
+                dk = dict(self._detector_kwargs or {})
+                dk["max_edge_points"] = 2 * int(
+                    dk.get("max_edge_points", MAX_EDGE_POINTS))
+                step_big = make_vision_pipeline(
+                    self._field_layout, params, rc, family=family,
+                    bits_corrected=bits, detector_kwargs=dk,
+                )
             for i, ch in enumerate(chains):
                 ch.batch_index = i
                 ch.group = len(self.groups)
@@ -368,7 +400,7 @@ class App:
                 FusedGroup(
                     step=step, chains=chains, frames_buf=buf,
                     frame_w=w, frame_h=h, family=family,
-                    bits_corrected=bits,
+                    bits_corrected=bits, step_big=step_big,
                 )
             )
 
@@ -429,7 +461,7 @@ class App:
                 for g, entry in zip(self.groups, in_flight):
                     if entry is None:
                         continue
-                    out, states = entry
+                    out, states, _ = entry
                     host_out = self._fetch_small(out)
                     for b, c in enumerate(g.chains):
                         fresh, tov = states[b]
@@ -471,7 +503,7 @@ class App:
             for g, entry in zip(self.groups, in_flight):
                 if entry is None:
                     continue
-                out, states = entry
+                out, states, _ = entry
                 host_out = self._fetch_small(out)
                 for b, ch in enumerate(g.chains):
                     fresh, tov = states[b]
@@ -661,10 +693,16 @@ class App:
                     gyro = np.full(
                         g.frames_buf.shape[0], gyro_val or 0.0, np.float32
                     )
+                    frames_dev = jnp.asarray(g.frames_buf)
+                    gyro_dev = jnp.asarray(gyro)
                     dispatched.append(
                         (
-                            g.step(jnp.asarray(g.frames_buf), jnp.asarray(gyro)),
+                            g.step(frames_dev, gyro_dev),
                             [(ch.fresh, ch.last_tov) for ch in g.chains],
+                            # retained for capacity redispatch (device-
+                            # resident; dropped with the entry otherwise)
+                            (frames_dev, gyro_dev)
+                            if g.step_big is not None else None,
                         )
                     )
             if self.pipeline_depth > 0:
@@ -678,13 +716,25 @@ class App:
                     for ch in g.chains:
                         self._publish_with(ch, None, 0, False, ch.last_tov)
                     continue
-                out, states = entry
-                outs.append(out)
+                out, states, dev_inputs = entry
                 with span("app.fetch_publish"):
                     host_out = self._fetch_small(out)
                     dropped_now = int(
                         np.sum(host_out.detections.dropped_points)
                     )
+                    if dropped_now and g.step_big is not None \
+                            and dev_inputs is not None:
+                        # Capacity redispatch: re-run THIS batch on the
+                        # 2x-budget program (the frames are still device-
+                        # resident). The flooded frame pays one extra
+                        # step; clean iterations never enter here.
+                        with span("app.capacity_redispatch"):
+                            out = g.step_big(*dev_inputs)
+                            host_out = self._fetch_small(out)
+                            dropped_now = int(
+                                np.sum(host_out.detections.dropped_points)
+                            )
+                    outs.append(out)
                     self.dropped_points_total += dropped_now
                     if dropped_now:
                         # Operator visibility for the capacity degradation

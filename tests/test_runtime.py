@@ -152,6 +152,82 @@ class TestAppLoop:
             comm.close()
             rio.close()
 
+    def test_capacity_redispatch(self, tiny_layout):
+        """App-level texture-flood recovery (round 5): with
+        detector_kwargs capacity_fallback=True the App builds a 2x-budget
+        program per group and, when an iteration's standard program
+        reports dropped candidates, re-runs the SAME device-staged frames
+        on it and publishes THAT result. Mechanism pinned with stub step
+        programs (the detector-level recovery itself is pinned by
+        TestArucoParityCorpus::test_capacity_fallback_recovers_flooded_scene)."""
+        import jax.numpy as jnp
+
+        from chalkydri_tpu.detector.pipeline import Detections
+        from chalkydri_tpu.pipeline import VisionOutput
+
+        port = 17995
+        rio = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        rio.bind(("127.0.0.1", port))
+        rio.settimeout(5.0)
+        comm = Comm(remote_addr="127.0.0.1", remote_port=port,
+                    gyro_port=port + 1, use_native=False)
+        app = App(_mini_graph(n_cams=1), field_layout=tiny_layout,
+                  comm=comm, pipeline_depth=0,
+                  detector_kwargs=dict(max_edge_points=8192,
+                                       capacity_fallback=True))
+        try:
+            g = app.groups[0]
+            assert g.step_big is not None, (
+                "capacity_fallback must build the 2x-budget program"
+            )
+            # the pipeline kwarg dict must NOT have seen the app-level key
+            assert "capacity_fallback" not in app._detector_kwargs
+
+            def fake_out(dropped, x):
+                b, nd = 1, 16
+                det = Detections(
+                    ids=jnp.full((b, nd), -1, jnp.int32),
+                    hammings=jnp.zeros((b, nd), jnp.int32),
+                    decision_margins=jnp.zeros((b, nd), jnp.float32),
+                    corners=jnp.zeros((b, nd, 4, 2), jnp.float32),
+                    valid=jnp.zeros((b, nd), bool),
+                    dropped_points=jnp.full((b,), dropped, jnp.int32),
+                )
+                return VisionOutput(
+                    pose_x=jnp.full((b,), x, jnp.float32),
+                    pose_y=jnp.zeros((b,), jnp.float32),
+                    pose_yaw=jnp.zeros((b,), jnp.float32),
+                    std_devs=jnp.full((b, 3), 0.1, jnp.float32),
+                    pose_valid=jnp.ones((b,), bool),
+                    tag_count=jnp.ones((b,), jnp.int32),
+                    detections=det,
+                )
+
+            calls = {"std": 0, "big": 0}
+
+            def std_step(frames, gyro):
+                calls["std"] += 1
+                return fake_out(dropped=777, x=1.0)
+
+            def big_step(frames, gyro):
+                calls["big"] += 1
+                return fake_out(dropped=0, x=2.0)
+
+            g.step, g.step_big = std_step, big_step
+            app.start_all_tasks()
+            app.run_one_iteration()
+            assert calls == {"std": 1, "big": 1}
+            # published pose is the BIG program's, and the drop never
+            # lands in the health counter (recovered, not degraded)
+            data, _ = rio.recvfrom(64)
+            pose, _, _, _, n = decode_measurement(data)
+            assert pose.x == 2.0 and n == 1
+            assert app.dropped_points_total == 0
+        finally:
+            app.stop_all_tasks()
+            comm.close()
+            rio.close()
+
     def test_graph_without_cameras_runs(self):
         g = TaskGraph.from_dict(
             {"tasks": [{"id": "m", "type": "Monitor"}], "cnx": []}
