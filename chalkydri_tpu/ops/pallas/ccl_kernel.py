@@ -1223,10 +1223,10 @@ def _merge_two_phase(tern_p, labels, conv, hb, iters, merge_rounds,
     # The carry keeps both the last PROPAGATED labels (what we return —
     # always block-locally consistent, even if the merge_rounds latency
     # cap fires mid-merge) and the relabeled seed for the next pass.
-    _, labels, _, _ = jax.lax.while_loop(
+    _, labels, _, done = jax.lax.while_loop(
         cond, body, (jnp.int32(0), labels, relabeled, done)
     )
-    return labels
+    return labels, done
 
 
 def _blocked_propagate(tern, labels, hb, iters, interpret):
@@ -1269,7 +1269,7 @@ def _blocked_propagate(tern, labels, hb, iters, interpret):
 
 
 @partial(jax.jit, static_argnames=("iters", "block_rows", "merge_rounds",
-                                   "merge", "interpret"))
+                                   "merge", "interpret", "want_converged"))
 def label_components_blocked_pallas(
     tern: jax.Array,
     iters: int = 12,
@@ -1277,6 +1277,7 @@ def label_components_blocked_pallas(
     merge_rounds: int | None = None,
     merge: str = "hybrid",
     interpret: bool = False,
+    want_converged: bool = False,
 ) -> jax.Array:
     """CCL over row blocks with a cross-seam merge. tern [B, H, W] u8.
 
@@ -1332,8 +1333,12 @@ def label_components_blocked_pallas(
     )
     labels = jnp.where(valid, flat, INVALID)
     labels, conv = _blocked_propagate(tern, labels, hb, iters, interpret)
-    labels = _merge_blocks(tern, labels, conv, hb, iters, merge_rounds,
-                           merge, interpret)
+    labels, converged = _merge_blocks(tern, labels, conv, hb, iters,
+                                      merge_rounds, merge, interpret)
+    if want_converged:
+        # the frame-local global-fixed-point certificate (see
+        # _merge_blocks) — the multi-chip spatial path's seam-first exit
+        return labels[:, :h, :w], converged
     return labels[:, :h, :w]
 
 
@@ -1371,10 +1376,12 @@ def _merge_to_fixed_point(tern_p, labels, hb, iters, merge_rounds,
         new, conv = _blocked_propagate(tern_p, merged, hb, iters, interpret)
         return i + 1, new, _seam_merge(new, tern_p, hb), conv
 
-    _, labels, _, _ = jax.lax.while_loop(
+    _, labels, merged, conv = jax.lax.while_loop(
         cond, body, (jnp.int32(0), labels, m0, conv0)
     )
-    return labels
+    # Converged iff the loop exited on its fixed-point test (not the cap):
+    # seam merge a no-op AND the last propagation kernel-certified.
+    return labels, ~(jnp.any(merged != labels) | ~conv)
 
 
 def _merge_hybrid(tern_p, labels, conv, hb, iters, merge_rounds, interpret):
@@ -1420,7 +1427,7 @@ def _merge_hybrid(tern_p, labels, conv, hb, iters, merge_rounds, interpret):
         pending(labels, merged, conv),
         lambda lab: _merge_two_phase(tern_p, lab, conv, hb, iters,
                                      merge_rounds, interpret),
-        lambda lab: lab,
+        lambda lab: (lab, jnp.bool_(True)),
         labels,
     )
 
@@ -1428,11 +1435,16 @@ def _merge_hybrid(tern_p, labels, conv, hb, iters, merge_rounds, interpret):
 def _merge_blocks(tern_p, labels, conv, hb, iters, merge_rounds, merge,
                   interpret):
     """Dispatch between the merge strategies (see
-    label_components_blocked_pallas)."""
+    label_components_blocked_pallas). Returns (labels, converged):
+    ``converged`` certifies the frame-local GLOBAL fixed point (the
+    multi-chip spatial path uses it to skip confirming propagations
+    across ICI seams)."""
     if merge_rounds == 0:
         # round-0 block-local labels only (the perf probes' convention),
-        # regardless of strategy
-        return labels
+        # regardless of strategy; frame-converged only in the
+        # single-block case, where block-local IS frame-local.
+        k = tern_p.shape[1] // hb
+        return labels, (conv if k == 1 else jnp.bool_(False))
     if merge == "twophase":
         return _merge_two_phase(tern_p, labels, conv, hb, iters,
                                 merge_rounds, interpret)
@@ -1445,7 +1457,7 @@ def _merge_blocks(tern_p, labels, conv, hb, iters, merge_rounds, merge,
 
 
 @partial(jax.jit, static_argnames=("iters", "block_rows", "merge_rounds",
-                                   "interpret"))
+                                   "interpret", "want_converged"))
 def propagate_components_blocked(
     tern: jax.Array,
     labels: jax.Array,
@@ -1453,6 +1465,7 @@ def propagate_components_blocked(
     block_rows: int | None = None,
     merge_rounds: int | None = None,
     interpret: bool = False,
+    want_converged: bool = False,
 ) -> jax.Array:
     """Blocked Pallas propagation from CALLER-provided initial labels to
     the frame-local fixed point (or the ``merge_rounds`` latency cap).
@@ -1483,8 +1496,10 @@ def propagate_components_blocked(
                            constant_values=INVALID)
     labels_p, conv = _blocked_propagate(tern_p, labels_p, hb, iters,
                                         interpret)
-    labels_p = _merge_to_fixed_point(tern_p, labels_p, hb, iters,
-                                     merge_rounds, interpret, conv0=conv)
+    labels_p, converged = _merge_to_fixed_point(
+        tern_p, labels_p, hb, iters, merge_rounds, interpret, conv0=conv)
+    if want_converged:
+        return labels_p[:, :h, :w], converged
     return labels_p[:, :h, :w]
 
 
@@ -1555,6 +1570,6 @@ def threshold_ccl_blocked(
     )(gray_p.reshape(b * k, hb, wp), nbr)
     labels = labels.reshape(b, hp, wp)
     tern_p = tern.reshape(b, hp, wp)
-    labels = _merge_blocks(tern_p, labels, jnp.all(conv[:, 0, 0] == 1), hb,
-                           iters, merge_rounds, merge, interpret)
+    labels, _ = _merge_blocks(tern_p, labels, jnp.all(conv[:, 0, 0] == 1),
+                              hb, iters, merge_rounds, merge, interpret)
     return tern_p[:, :h, :w], labels[:, :h, :w]

@@ -171,7 +171,11 @@ def _make_spatial_step(
     # dryrun environment) take jnp, with "pallas_interpret" available to
     # pin kernel-path bit-identity off-device.
     ccl_impl = str(dk.get("ccl_impl", "auto"))
-    assert ccl_impl in ("auto", "jnp", "pallas", "pallas_interpret")
+    if ccl_impl not in ("auto", "jnp", "pallas", "pallas_interpret"):
+        raise ValueError(
+            f"ccl_impl must be auto/jnp/pallas/pallas_interpret, "
+            f"got {ccl_impl!r}"
+        )
     if ccl_impl == "auto":
         ccl_impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
     edge_cap = int(dk.get("max_edge_points", MAX_EDGE_POINTS))

@@ -85,6 +85,35 @@ def _threshold_block(gray_ext: jax.Array, min_diff: int) -> jax.Array:
     return tern[:, HALO_ROWS:-HALO_ROWS, :]
 
 
+def _seam_row_min(row_lab, row_val, n_lab, n_val):
+    """Neighbor-min of one boundary label row against the FACING
+    neighbor row: 4-conn for any same ternary value, diagonals white
+    only — THE seam connectivity rule, shared by the per-round jnp path
+    (label_components_block) and the kernel ICI path (_ici_seam_min) so
+    the two cannot silently diverge. Rows are [B, 1, W]; invalid (127)
+    pixels never merge (their labels are INVALID on both sides anyway).
+    """
+    from chalkydri_tpu.detector.segment import INVALID
+
+    m = row_lab
+    valid = row_val != 127
+    white = row_val == 255
+    for dx in (0, 1, -1):
+        nl = jnp.roll(n_lab, dx, axis=2) if dx else n_lab
+        nv = jnp.roll(n_val, dx, axis=2) if dx else n_val
+        if dx == 1:
+            nl = nl.at[:, :, :1].set(INVALID)
+            nv = nv.at[:, :, :1].set(jnp.uint8(127))
+        elif dx == -1:
+            nl = nl.at[:, :, -1:].set(INVALID)
+            nv = nv.at[:, :, -1:].set(jnp.uint8(127))
+        same = (nv == row_val) & valid
+        if dx != 0:
+            same = same & white
+        m = jnp.minimum(m, jnp.where(same, nl, INVALID))
+    return m
+
+
 def label_components_block(block: jax.Array, hl: int, w: int,
                            iters: int, axis_name: str = "space") -> jax.Array:
     """CCL over one shard's row block [B, hl, w] with per-round seam
@@ -125,37 +154,16 @@ def label_components_block(block: jax.Array, hl: int, w: int,
 
     top_val = block[:, :1, :]
     bot_val = block[:, -1:, :]
-    is_white_top = top_val == 255
-    is_white_bot = bot_val == 255
 
     def seam_min(lab):
-        """Min labels across the shard seams (4-conn + white diagonals)."""
+        """Min labels across the shard seams (4-conn + white diagonals —
+        the shared _seam_row_min rule)."""
         lab_above = fetch(lab[:, -1:, :], +1)
         lab_below = fetch(lab[:, :1, :], -1)
         lab_above = jnp.where(idx == 0, INVALID, lab_above)
         lab_below = jnp.where(idx == n - 1, INVALID, lab_below)
-
-        def merge_row(row_lab, row_val, n_lab, n_val, white_mask):
-            m = row_lab
-            for dx in (0, 1, -1):
-                nl = jnp.roll(n_lab, dx, axis=2) if dx else n_lab
-                nv = jnp.roll(n_val, dx, axis=2) if dx else n_val
-                if dx == 1:
-                    nl = nl.at[:, :, :1].set(INVALID)
-                    nv = nv.at[:, :, :1].set(jnp.uint8(127))
-                elif dx == -1:
-                    nl = nl.at[:, :, -1:].set(INVALID)
-                    nv = nv.at[:, :, -1:].set(jnp.uint8(127))
-                same = nv == row_val
-                if dx != 0:
-                    same = same & white_mask  # diagonals: white only
-                m = jnp.minimum(m, jnp.where(same, nl, INVALID))
-            return m
-
-        top = merge_row(lab[:, :1, :], top_val, lab_above, val_above,
-                        is_white_top)
-        bot = merge_row(lab[:, -1:, :], bot_val, lab_below, val_below,
-                        is_white_bot)
+        top = _seam_row_min(lab[:, :1, :], top_val, lab_above, val_above)
+        bot = _seam_row_min(lab[:, -1:, :], bot_val, lab_below, val_below)
         return jnp.concatenate([top, lab[:, 1:-1, :], bot], axis=1)
 
     def body(_, lab):
@@ -171,9 +179,8 @@ def label_components_block(block: jax.Array, hl: int, w: int,
 def _ici_seam_min(labels: jax.Array, block: jax.Array, axis_name: str,
                   idx, n: int) -> jax.Array:
     """One neighbor-min across the CHIP seams (boundary label rows ride
-    ICI via ppermute; 4-conn for any same ternary value, diagonals white
-    only — the connectivity ``label_components_block``'s per-round
-    ``seam_min`` applies, factored out for the kernel-backed path)."""
+    ICI via ppermute; connectivity is the shared ``_seam_row_min`` rule,
+    the same one ``label_components_block``'s per-round seam_min uses)."""
     from chalkydri_tpu.detector.segment import INVALID
 
     def fetch(rows, direction):
@@ -190,27 +197,8 @@ def _ici_seam_min(labels: jax.Array, block: jax.Array, axis_name: str,
     lab_above = jnp.where(idx == 0, INVALID, lab_above)
     lab_below = jnp.where(idx == n - 1, INVALID, lab_below)
 
-    def merge_row(row_lab, row_val, n_lab, n_val):
-        m = row_lab
-        white = row_val == 255
-        valid = row_val != 127
-        for dx in (0, 1, -1):
-            nl = jnp.roll(n_lab, dx, axis=2) if dx else n_lab
-            nv = jnp.roll(n_val, dx, axis=2) if dx else n_val
-            if dx == 1:
-                nl = nl.at[:, :, :1].set(INVALID)
-                nv = nv.at[:, :, :1].set(jnp.uint8(127))
-            elif dx == -1:
-                nl = nl.at[:, :, -1:].set(INVALID)
-                nv = nv.at[:, :, -1:].set(jnp.uint8(127))
-            same = (nv == row_val) & valid
-            if dx != 0:
-                same = same & white
-            m = jnp.minimum(m, jnp.where(same, nl, INVALID))
-        return m
-
-    top = merge_row(labels[:, :1, :], top_val, lab_above, val_above)
-    bot = merge_row(labels[:, -1:, :], bot_val, lab_below, val_below)
+    top = _seam_row_min(labels[:, :1, :], top_val, lab_above, val_above)
+    bot = _seam_row_min(labels[:, -1:, :], bot_val, lab_below, val_below)
     return jnp.concatenate([top, labels[:, 1:-1, :], bot], axis=1)
 
 
@@ -261,26 +249,39 @@ def label_components_block_pallas(
 
     # Round 0: block-local convergence with the packed-scan fast path
     # (local flat labels), then shift onto the global id space — min-
-    # propagation commutes with adding a per-chip constant.
-    labels = label_components_blocked_pallas(block, iters=iters,
-                                             interpret=interpret)
+    # propagation commutes with adding a per-chip constant. The chip's
+    # frame-local convergence CERTIFICATE comes along so the outer loop
+    # can exit seam-first.
+    labels, conv = label_components_blocked_pallas(
+        block, iters=iters, interpret=interpret, want_converged=True)
     labels = jnp.where(labels == INVALID, INVALID, labels + idx * hl * wp)
 
+    def pending(lab, merged, conv):
+        """ALL chips must certify their local fixed points AND every ICI
+        seam-min must be a no-op — together that IS the global fixed
+        point, so a certified clean exit pays NO confirming propagation
+        (the seam-first pattern of ccl_kernel._merge_to_fixed_point, one
+        level up: a frame with no cross-chip component runs ZERO outer
+        propagations)."""
+        local_bad = jnp.any(merged != lab) | ~conv
+        return jax.lax.psum(local_bad.astype(jnp.int32), axis_name) > 0
+
+    merged0 = _ici_seam_min(labels, block, axis_name, idx, n)
+
     def cond(c):
-        i, _, changed = c
-        return (i < outer_rounds) & changed
+        i, lab, merged, conv = c
+        return (i < outer_rounds) & pending(lab, merged, conv)
 
     def body(c):
-        i, lab, _ = c
-        merged = _ici_seam_min(lab, block, axis_name, idx, n)
-        new = propagate_components_blocked(block, merged, iters=iters,
-                                           interpret=interpret)
-        changed = jax.lax.psum(
-            jnp.any(new != lab).astype(jnp.int32), axis_name) > 0
-        return i + 1, new, changed
+        i, _, merged, _ = c
+        new, conv = propagate_components_blocked(
+            block, merged, iters=iters, interpret=interpret,
+            want_converged=True)
+        return i + 1, new, _ici_seam_min(new, block, axis_name, idx, n), \
+            conv
 
-    _, labels, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), labels, jnp.bool_(True))
+    _, labels, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), labels, merged0, conv)
     )
     return labels
 

@@ -120,9 +120,24 @@ def make_vision_pipeline(
     Static per-rig data (field layout, intrinsics, extrinsics) are closed
     over as device constants; per-iteration inputs are frames + gyro.
     """
+    dk = dict(detector_kwargs or {})
+    # Keys that only make sense at other layers must not reach the jitted
+    # detector build: ccl_impl selects the SPATIAL shard body's CCL
+    # implementation (parallel/pipeline.py), and capacity_fallback is a
+    # HOST-side two-program behavior (make_detector's wrapper calls
+    # device_get, which cannot run inside this fused jit program; the App
+    # implements the equivalent redispatch — runtime/app.py).
+    dk.pop("ccl_impl", None)
+    if dk.pop("capacity_fallback", False):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "capacity_fallback is not applicable inside the fused "
+            "pipeline; use App(detector_kwargs={'capacity_fallback': "
+            "True}) for the host-side redispatch"
+        )
     detect = make_detector(
-        family=family, bits_corrected=bits_corrected, refine=refine,
-        **(detector_kwargs or {}),
+        family=family, bits_corrected=bits_corrected, refine=refine, **dk,
     )
     dtype = jnp.float32
     cam_models = OpenCVModel5(camera_params.astype(dtype))

@@ -79,7 +79,12 @@ class FusedGroup:
     # re-run on this one — the texture-flood recovery the golden corpus
     # pins at the detector level (make_detector capacity_fallback),
     # extended to the production loop. None = warn-only (default).
+    # ``step_big_ready`` is set by the background warm-up compile
+    # (start_all_tasks): until it's set, overflowed iterations keep the
+    # standard result + warning instead of stalling the publish loop on
+    # a mid-match XLA compile.
     step_big: "object" = None
+    step_big_ready: "object" = None  # threading.Event when step_big set
 
 
 def _round_up(x: int, m: int) -> int:
@@ -371,17 +376,29 @@ class App:
                     self._field_layout, params, rc, family=family,
                     bits_corrected=bits, detector_kwargs=self._detector_kwargs,
                 )
-            step_big = None
+            step_big = step_big_ready = None
+            if self._capacity_fallback and mesh is not None:
+                # Mesh groups keep warn-only degradation: their step
+                # closure owns device placement, and doubling a sharded
+                # program's footprint needs a per-deployment decision,
+                # not a default. Say so instead of silently ignoring the
+                # operator's flag.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "capacity_fallback requested but a [mesh] is "
+                    "configured; the 2x-budget redispatch is single-"
+                    "device only — texture floods will degrade with a "
+                    "warning instead of recovering"
+                )
             if self._capacity_fallback and mesh is None:
                 # The texture-flood recovery program: same rig, 2x the
-                # candidate compaction budget. Compiled lazily on the
-                # first overflow (acceptable: floods are rare and the
-                # standard program keeps publishing while this one
-                # compiles — the redispatch only upgrades that frame's
-                # result). Mesh groups keep warn-only degradation: their
-                # step closure owns device placement, and doubling a
-                # sharded program's footprint needs a per-deployment
-                # decision, not a default.
+                # candidate compaction budget. Warmed up by a background
+                # compile thread in start_all_tasks; until that finishes,
+                # overflowed iterations keep the standard (degraded)
+                # result rather than stalling publishing on a compile.
+                import threading
+
                 from chalkydri_tpu.detector.cluster import MAX_EDGE_POINTS
 
                 dk = dict(self._detector_kwargs or {})
@@ -391,6 +408,7 @@ class App:
                     self._field_layout, params, rc, family=family,
                     bits_corrected=bits, detector_kwargs=dk,
                 )
+                step_big_ready = threading.Event()
             for i, ch in enumerate(chains):
                 ch.batch_index = i
                 ch.group = len(self.groups)
@@ -401,6 +419,7 @@ class App:
                     step=step, chains=chains, frames_buf=buf,
                     frame_w=w, frame_h=h, family=family,
                     bits_corrected=bits, step_big=step_big,
+                    step_big_ready=step_big_ready,
                 )
             )
 
@@ -494,6 +513,37 @@ class App:
             ch.camera.start(self.clock)
         for t in self.tasks.values():
             t.start(self.clock)
+        # Warm up the capacity-redispatch programs off the hot path (XLA
+        # releases the GIL during compilation, so the loop keeps running).
+        for g in self.groups:
+            if g.step_big is not None and g.step_big_ready is not None \
+                    and not g.step_big_ready.is_set():
+                import threading
+
+                import jax.numpy as jnp
+
+                def _warm(g=g):
+                    try:
+                        frames = jnp.full(
+                            g.frames_buf.shape, 127, jnp.uint8)
+                        gyro = jnp.zeros(
+                            g.frames_buf.shape[0], jnp.float32)
+                        import jax
+
+                        jax.block_until_ready(g.step_big(frames, gyro))
+                        g.step_big_ready.set()
+                    except Exception:  # a failed warm-up = warn-only mode
+                        import logging
+
+                        logging.getLogger(__name__).exception(
+                            "capacity_fallback warm-up compile failed; "
+                            "floods will degrade with a warning"
+                        )
+
+                threading.Thread(
+                    target=_warm, daemon=True,
+                    name=f"capacity-warmup-g{g.chains[0].group}",
+                ).start()
         self._started = True
 
     def stop_all_tasks(self) -> None:
@@ -723,11 +773,16 @@ class App:
                         np.sum(host_out.detections.dropped_points)
                     )
                     if dropped_now and g.step_big is not None \
-                            and dev_inputs is not None:
+                            and dev_inputs is not None \
+                            and g.step_big_ready is not None \
+                            and g.step_big_ready.is_set():
                         # Capacity redispatch: re-run THIS batch on the
                         # 2x-budget program (the frames are still device-
                         # resident). The flooded frame pays one extra
-                        # step; clean iterations never enter here.
+                        # step; clean iterations never enter here, and
+                        # until the background warm-up compile finishes
+                        # the standard result publishes with the drop
+                        # warning instead of stalling on a compile.
                         with span("app.capacity_redispatch"):
                             out = g.step_big(*dev_inputs)
                             host_out = self._fetch_small(out)

@@ -139,4 +139,19 @@ class Monitor(SinkTask):
         ts = msg.tov.time_us or clock.now_us()
         jpeg = enc.tobytes()
         for b in self.backends:
-            b.publish(ts, jpeg, frame)
+            # A telemetry sink must never take the vision loop down
+            # (degrade-don't-die): isolate each backend and rate-limit
+            # the complaint (e.g. dump_dir on a full disk raises ENOSPC
+            # every frame).
+            try:
+                b.publish(ts, jpeg, frame)
+            except Exception as e:
+                import time as _time
+
+                now = _time.monotonic()
+                if now - getattr(self, "_last_backend_warn", 0.0) > 5.0:
+                    self._last_backend_warn = now
+                    logging.getLogger(__name__).warning(
+                        "monitor backend %s failed: %s",
+                        type(b).__name__, e,
+                    )

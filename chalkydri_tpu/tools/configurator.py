@@ -131,6 +131,20 @@ def _ask(prompt: str, default: str = "") -> str:
     return got or default
 
 
+def _ask_num(prompt: str, default, cast):
+    """Numeric prompt that RE-PROMPTS on a typo instead of aborting the
+    session (the reference's dialoguer inputs validate the same way);
+    EOF returns the default."""
+    while True:
+        got = _ask(prompt, str(default))
+        try:
+            return cast(got)
+        except ValueError:
+            print(f"  not a number: {got!r} — try again", file=sys.stderr)
+            # EOF inside _ask returns the default, which always casts;
+            # only a real typed line can loop here.
+
+
 def _interactive_session(state: ConfiguratorState, args) -> int:
     """Guided operator flow, the reference's dialoguer session
     (configurator/src/main.rs:55-593): per camera — pick/enter a device,
@@ -169,14 +183,13 @@ def _interactive_session(state: ConfiguratorState, args) -> int:
             c = caps[int(pick)]
             entry.width, entry.height = int(c["width"]), int(c["height"])
         else:
-            entry.width = int(_ask("width", str(entry.width)))
-            entry.height = int(_ask("height", str(entry.height)))
-        entry.cam_id = int(_ask("cam_id (wire id, 0-255)", str(entry.cam_id)))
+            entry.width = _ask_num("width", entry.width, int)
+            entry.height = _ask_num("height", entry.height, int)
+        entry.cam_id = _ask_num("cam_id (wire id, 0-255)", entry.cam_id, int)
         if _ask("set robot->camera offsets? (y/N)", "n").lower().startswith("y"):
             for k in ("x", "y", "z", "roll", "pitch", "yaw"):
-                entry.robot_to_cam[k] = float(
-                    _ask(f"  {k} (m or deg)", str(entry.robot_to_cam[k]))
-                )
+                entry.robot_to_cam[k] = _ask_num(
+                    f"  {k} (m or deg)", entry.robot_to_cam[k], float)
         state.put(name, entry)
         state.save(args.state)
         print(f"configured camera {name!r} -> {entry.device_id} "

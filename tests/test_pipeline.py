@@ -66,6 +66,49 @@ def rig():
     return cams
 
 
+class TestDetectorKwargsHygiene:
+    """Layer-foreign detector_kwargs keys must not crash the fused build
+    (round-5 review): ccl_impl belongs to the SPATIAL shard body and
+    capacity_fallback to the App's host-side redispatch — forwarded
+    verbatim they used to raise TypeError / TracerArrayConversionError
+    inside the jit program."""
+
+    def test_foreign_keys_are_stripped(self, layout, rig):
+        from chalkydri_tpu.pipeline import (
+            build_rig_from_config,
+            make_vision_pipeline,
+        )
+
+        params, rc = build_rig_from_config(rig, layout)
+        step = make_vision_pipeline(
+            layout, params, rc,
+            detector_kwargs=dict(max_edge_points=4096, ccl_impl="jnp",
+                                 capacity_fallback=True),
+        )
+        frames = jnp.full((2, 480, 640), 127, jnp.uint8)
+        out = step(frames, jnp.zeros(2, jnp.float32))
+        assert not bool(np.asarray(out.pose_valid).any())  # blank frames
+
+    def test_bad_ccl_impl_is_a_real_error(self, layout, rig):
+        import pytest as _pytest
+
+        from chalkydri_tpu.parallel.mesh import make_mesh
+        from chalkydri_tpu.parallel.pipeline import (
+            make_sharded_vision_pipeline,
+        )
+        from chalkydri_tpu.pipeline import build_rig_from_config
+
+        if len(jax.devices()) < 8:
+            _pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh(8, space=2)
+        params, rc = build_rig_from_config(rig * 2, layout)
+        with _pytest.raises(ValueError, match="ccl_impl"):
+            make_sharded_vision_pipeline(
+                layout, params, rc, mesh, spatial=True,
+                detector_kwargs=dict(ccl_impl="bogus"),
+            )
+
+
 class TestFusedPipeline:
     def test_multi_tag_field_pose(self, layout, rig):
         """Two cameras, each seeing tags 3+4 -> both recover the true robot

@@ -215,6 +215,10 @@ class TestAppLoop:
 
             g.step, g.step_big = std_step, big_step
             app.start_all_tasks()
+            # the background warm-up compiles (here: calls) step_big once
+            # and sets the ready gate; redispatch waits for it
+            assert g.step_big_ready.wait(timeout=10.0)
+            calls["big"] = 0
             app.run_one_iteration()
             assert calls == {"std": 1, "big": 1}
             # published pose is the BIG program's, and the drop never
